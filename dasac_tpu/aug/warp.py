@@ -1,0 +1,105 @@
+"""Batched affine warping: affine_grid + grid_sample with torch's
+``align_corners=False`` conventions (the pair used throughout the reference's
+multi-view fusion, ``models/sac.py:289-310``).
+
+Coordinate convention (torch): normalized coords in [-1, 1]; with
+align_corners=False the pixel centers sit at ((2*i+1)/S - 1).  ``theta`` is a
+[.., 2, 3] matrix mapping OUTPUT normalized coords (x, y, 1) to INPUT
+normalized coords; sampling is bilinear with zero padding (or nearest for
+label maps).
+
+TPU notes: the sample is four clamped flat gathers + a lerp — XLA lowers
+this to vector gathers that stay in VMEM for our [T,H,W,C] tiles.  Static
+shapes only; vmapped over the batch.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta, height, width):
+    """Normalized sampling grid for ``theta`` [..., 2, 3] -> [..., H, W, 2].
+
+    Last dim is (x, y) in input normalized coords (torch affine_grid parity).
+    """
+    xs = (2.0 * jnp.arange(width, dtype=jnp.float32) + 1.0) / width - 1.0
+    ys = (2.0 * jnp.arange(height, dtype=jnp.float32) + 1.0) / height - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+    ones = jnp.ones_like(gx)
+    base = jnp.stack([gx, gy, ones], axis=-1)  # [H, W, 3]
+    # out[..., h, w, i] = sum_j theta[..., i, j] * base[h, w, j]
+    return jnp.einsum("...ij,hwj->...hwi", theta, base)
+
+
+def _unnormalize(coord, size):
+    """Normalized [-1,1] -> continuous pixel coords (align_corners=False)."""
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def grid_sample(img, grid, mode="bilinear"):
+    """Sample ``img`` [N,H,W,C] at ``grid`` [N,Ho,Wo,2] ((x,y) normalized).
+
+    Zero padding outside the input; bilinear or nearest.  Matches torch
+    ``F.grid_sample(..., align_corners=False, padding_mode='zeros')``.
+    """
+    n, h, w, c = img.shape
+    x = _unnormalize(grid[..., 0], w)
+    y = _unnormalize(grid[..., 1], h)
+
+    if mode == "nearest":
+        # torch nearest rounds half away from... uses floor(coord + 0.5)
+        xi = jnp.floor(x + 0.5).astype(jnp.int32)
+        yi = jnp.floor(y + 0.5).astype(jnp.int32)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        flat = img.reshape(n, h * w, c)
+        idx = yi * w + xi  # [N,Ho,Wo]
+        out = jnp.take_along_axis(
+            flat, idx.reshape(n, -1, 1), axis=1
+        ).reshape(*idx.shape, c)
+        return out * valid[..., None].astype(img.dtype)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(jnp.float32)
+    wy = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = img.reshape(n, h * w, c).astype(jnp.float32)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        idx = yc * w + xc
+        v = jnp.take_along_axis(
+            flat, idx.reshape(n, -1, 1), axis=1
+        ).reshape(*idx.shape, c)
+        return v * valid[..., None].astype(jnp.float32)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    out = (
+        v00 * (1 - wxe) * (1 - wye)
+        + v01 * wxe * (1 - wye)
+        + v10 * (1 - wxe) * wye
+        + v11 * wxe * wye
+    )
+    return out.astype(img.dtype)
+
+
+def warp_affine(img, theta, out_hw=None, mode="bilinear"):
+    """grid_sample(img, affine_grid(theta)) in one call.
+
+    ``img`` [N,H,W,C], ``theta`` [N,2,3].
+    """
+    if out_hw is None:
+        out_hw = (img.shape[1], img.shape[2])
+    grid = affine_grid(theta, out_hw[0], out_hw[1])
+    return grid_sample(img, grid, mode=mode)

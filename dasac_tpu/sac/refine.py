@@ -1,0 +1,113 @@
+"""Multi-view teacher refinement: warp -> pool -> unwarp
+(reference ``SAC._refine`` + pooling ops, models/sac.py:218-313).
+
+TPU-first restructuring: groups are explicit — tensors are [G, T, H, W, C]
+and the view pool is a masked reduction over the T axis on-device.  The
+reference's cross-GPU ``_gather`` (sac.py:198-216) disappears entirely: each
+group lives whole on one device and groups are batched along the data mesh
+axis (SURVEY.md §2.3 "TPU-native equivalent").
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dasac_tpu.aug.warp import affine_grid, grid_sample
+from dasac_tpu.nn.functional import resize_bilinear_align_corners
+from dasac_tpu.sac.core import entropy
+
+
+def avg_pool_views(masked_probs, tolerance=0.1):
+    """Masked average over views (reference _avg_pool, sac.py:238-269).
+
+    Args:
+        masked_probs: [G, T, H, W, C] aligned probabilities, zero where
+            invalid (prob mass per valid pixel ~1).
+    Returns:
+        pooled [G, T, H, W, C] (same average broadcast to every view),
+        valid [G, T, H, W, 1] float mask (total mass > tolerance).
+    """
+    t = masked_probs.shape[1]
+    total = jnp.sum(masked_probs, axis=1, keepdims=True)          # [G,1,H,W,C]
+    mass = jnp.sum(total, axis=-1, keepdims=True)                 # [G,1,H,W,1]
+    valid = (mass > tolerance).astype(masked_probs.dtype)
+    avg = total / jnp.clip(mass, 1e-3, None)
+    avg = jnp.broadcast_to(avg, masked_probs.shape)
+    valid = jnp.broadcast_to(valid, masked_probs.shape[:-1] + (1,))
+    return avg, valid
+
+
+def minentropy_pool_views(masked_probs, tolerance=0.1):
+    """Pick the min-entropy view per pixel (reference _minentropy_pool,
+    sac.py:218-236)."""
+    g, t, h, w, c = masked_probs.shape
+    ent = entropy(masked_probs.reshape(g * t, h, w, c)).reshape(g, t, h, w, 1)
+    best = jnp.argmin(ent, axis=1, keepdims=True)                 # [G,1,H,W,1]
+    sel = jnp.take_along_axis(masked_probs, best, axis=1)         # [G,1,H,W,C]
+    sel = jnp.broadcast_to(sel, masked_probs.shape)
+    mass = jnp.sum(masked_probs, axis=(1, 4), keepdims=True)      # [G,1,H,W,1]
+    valid = jnp.broadcast_to(
+        (mass > tolerance).astype(masked_probs.dtype),
+        masked_probs.shape[:-1] + (1,),
+    )
+    return sel, valid
+
+
+POOLS = {"avg_pool": avg_pool_views, "minentropy_pool": minentropy_pool_views}
+
+
+def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
+           group_size, pool="avg_pool", pool_on=True,
+           out_hw: Optional[tuple] = None):
+    """Teacher probability refinement across a group's views.
+
+    Args:
+        teacher_logits: [B, h, w, C] stride-8 teacher logits (B = G*T).
+        affine / affine_inv: [B, 2, 3] view->reference / reference->view.
+        ignore_mask: [B, H, W] bool, True at augmentation padding.
+        group_size: T, static.
+        out_hw: full resolution (H, W); defaults to ignore_mask's.
+    Returns:
+        (refined_probs [B, H, W, C], diags dict)
+
+    Mirrors sac.py:271-313: upsample (align_corners=True) -> softmax -> zero
+    padded pixels -> warp to reference frame -> multiply by the warped
+    validity of the inverse map -> pool over views -> warp the pooled map and
+    its count-mask back per view.  The running-conf update is the caller's
+    job (it needs the pre-warp probs).
+    """
+    b = teacher_logits.shape[0]
+    c = teacher_logits.shape[-1]
+    if out_hw is None:
+        out_hw = (ignore_mask.shape[-2], ignore_mask.shape[-1])
+    h, w = out_hw
+
+    logits_up = resize_bilinear_align_corners(teacher_logits, (h, w))
+    probs = jnp.asarray(
+        jnp.exp(logits_up - jnp.max(logits_up, -1, keepdims=True)))
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    probs = probs * (1.0 - ignore_mask[..., None].astype(probs.dtype))
+
+    diags = {"teacher_probs": probs}
+    if not pool_on:
+        return probs, diags
+
+    grid_fwd = affine_grid(affine, h, w)
+    grid_inv = affine_grid(affine_inv, h, w)
+
+    aligned = grid_sample(probs, grid_fwd)                        # [B,H,W,C]
+    valid_aligned = grid_sample(jnp.ones((b, h, w, 1), probs.dtype), grid_inv)
+    masked = aligned * valid_aligned
+
+    t = group_size
+    g = b // t
+    pooled, valid = POOLS[pool](masked.reshape(g, t, h, w, c))
+    pooled = pooled.reshape(b, h, w, c)
+    valid = valid.reshape(b, h, w, 1)
+
+    refined = grid_sample(pooled, grid_inv)
+    refined_valid = grid_sample(valid, grid_inv)
+    refined = refined * refined_valid
+
+    diags["teacher_aligned"] = aligned
+    return refined, diags
