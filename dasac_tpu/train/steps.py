@@ -1,0 +1,388 @@
+"""Compiled train/eval steps: the whole SAC iteration as ONE program.
+
+The reference's per-iteration host choreography (train.py:119-251: H2D
+copies, two backwards, .item() syncs, dist.all_reduce calls) collapses into
+a single jitted SPMD step: device-side augmentation, teacher EMA under
+lax.cond, teacher forward + multi-view refinement, pseudo-labels, fused
+source+target value_and_grad, pmean'd gradients, optax update.  No host
+round-trips inside the hot loop (BASELINE.json north star).
+
+Two trainers:
+  * SAC (MODEL.BASELINE=False): BN frozen, teacher branch active
+    (train.py:290-298 + models/sac.py:315-378)
+  * ABN (MODEL.BASELINE=True): source step trains with live BN, target pass
+    only refreshes BN statistics (train.py:281-289)
+"""
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dasac_tpu.aug import pipelines
+from dasac_tpu.sac import core as sac_core
+from dasac_tpu.sac import refine as sac_refine
+from dasac_tpu.train.metrics import confusion_matrix
+
+
+class StepConfig(NamedTuple):
+    """Static hyperparameters baked into the compiled step."""
+
+    num_classes: int = 19
+    crop_hw: Tuple[int, int] = (512, 1024)
+    group_size: int = 4
+    # optimization
+    lr_target: float = 1.0
+    target_only: bool = False
+    # teacher / prior
+    net_momentum: float = 0.99
+    net_momentum_iter: int = 100
+    stat_momentum: float = 0.99
+    threshold_beta: float = 1e-3
+    conf_discount: bool = True
+    pool: str = "avg_pool"
+    pool_on: bool = True
+    focal_p: int = 3
+    use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
+    run_conf_upper: float = 0.75
+    run_conf_lower: float = 0.2
+    # source augmentation
+    src_scale: Tuple[float, float] = (0.5, 1.5)
+    src_hflip: bool = True
+    src_jitter: float = 0.0
+    src_blur: bool = False
+    src_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    src_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # target augmentation
+    target_scale: Tuple[float, float] = (1.0, 1.1)
+    zoom: Tuple[float, float] = (0.5, 1.2)
+    group_hflip: bool = True
+    guided_hflip: bool = True
+    tgt_blur: bool = True
+    tgt_jitter: float = 0.0
+    tgt_greyscale: float = 0.0
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+def step_config_from_cfg(cfg):
+    """Derive a StepConfig from the global config (reference yaml schema)."""
+    d = cfg.DATASET
+    m = cfg.MODEL
+    if d.RENORM_SOURCE:
+        src_mean, src_std = pipelines.renorm_stats(
+            d.MEAN, d.STD, d.SOURCE_MEAN, d.SOURCE_STD,
+            d.TARGET_MEAN, d.TARGET_STD)
+    else:
+        src_mean, src_std = tuple(d.MEAN), tuple(d.STD)
+    return StepConfig(
+        num_classes=19,
+        crop_hw=tuple(d.CROP_SIZE),
+        group_size=cfg.TRAIN.GROUP_SIZE,
+        lr_target=m.LR_TARGET,
+        target_only=cfg.TRAIN.TARGET_ONLY,
+        net_momentum=m.NET_MOMENTUM,
+        net_momentum_iter=m.NET_MOMENTUM_ITER,
+        stat_momentum=m.STAT_MOMENTUM,
+        threshold_beta=m.THRESHOLD_BETA,
+        conf_discount=m.CONF_DISCOUNT,
+        pool=m.CONF_POOL,
+        pool_on=m.CONF_POOL_ON,
+        focal_p=m.FOCAL_P,
+        use_conf_loss=(m.LOSS == "focal_ce_conf"),
+        run_conf_upper=m.RUN_CONF_UPPER,
+        run_conf_lower=m.RUN_CONF_LOWER,
+        src_scale=(d.SCALE_FROM, d.SCALE_TO),
+        src_hflip=d.RND_HFLIP,
+        # reference quirk reproduced: gate on SRC_RND_JITTER, strength from
+        # RND_JITTER (dataloader_seg.py:84-85)
+        src_jitter=(d.RND_JITTER if d.SRC_RND_JITTER > 0 else 0.0),
+        src_blur=d.SRC_RND_BLUR,
+        src_mean=src_mean,
+        src_std=src_std,
+        target_scale=tuple(d.TARGET_SCALE),
+        zoom=tuple(d.RND_ZOOM),
+        group_hflip=d.RND_HFLIP,
+        guided_hflip=d.GUIDED_HFLIP,
+        tgt_blur=d.RND_BLUR,
+        tgt_jitter=d.RND_JITTER,
+        tgt_greyscale=d.RND_GREYSCALE,
+        mean=tuple(d.MEAN),
+        std=tuple(d.STD),
+    )
+
+
+def _fold_axis(key, axis_name):
+    if axis_name is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def _pmean(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.lax.pmean(tree, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# SAC adaptation step
+# ---------------------------------------------------------------------------
+
+def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    ``batch`` = (src_images u8 [B,H0,W0,3], src_labels [B,H0,W0],
+                 tgt_images u8 [G,H,W,3],  tgt_labels [G,H,W]).
+    The returned function is the PER-SHARD body: wrap with shard_map (batch
+    sharded over 'data', state replicated) or jit directly for one device.
+    """
+
+    def step(state, batch, rng):
+        src_images, src_labels, tgt_images, tgt_labels = batch
+        rng = jax.random.fold_in(rng, state.step)
+        rng = _fold_axis(rng, axis_name)
+        k_src, k_tgt = jax.random.split(rng)
+
+        # ---- device-side augmentation -------------------------------------
+        src_frames, src_lbls = pipelines.augment_source_batch(
+            k_src, src_images, src_labels, crop_hw=scfg.crop_hw,
+            scale_range=scfg.src_scale, hflip=scfg.src_hflip,
+            jitter=scfg.src_jitter, blur=scfg.src_blur,
+            mean=scfg.src_mean, std=scfg.src_std)
+        views = pipelines.augment_target_groups(
+            k_tgt, tgt_images, tgt_labels, group_size=scfg.group_size,
+            target_scale=scfg.target_scale, zoom=scfg.zoom,
+            group_hflip=scfg.group_hflip, guided_hflip=scfg.guided_hflip,
+            blur=scfg.tgt_blur, jitter=scfg.tgt_jitter,
+            greyscale=scfg.tgt_greyscale, mean=scfg.mean, std=scfg.std)
+
+        # ---- teacher EMA / lazy init (sac.py:70-102, train.py:294) --------
+        do_update = (state.step % scfg.net_momentum_iter) == 0
+        teacher = {"params": state.teacher_params, "stats": state.teacher_stats}
+        student = {"params": state.params, "stats": state.batch_stats}
+        teacher, slow_init, running_conf, teacher_diff = (
+            sac_core.maybe_update_teacher(
+                teacher, student, state.slow_init, state.running_conf,
+                momentum=scfg.net_momentum,
+                threshold_beta=scfg.threshold_beta, do_update=do_update))
+
+        # ---- teacher branch on clean views (no grad) ----------------------
+        t_logits, _ = model.apply(
+            {"params": teacher["params"], "batch_stats": teacher["stats"]},
+            views.frames_clean, train=False, update_stats=False)
+        refined, diags = sac_refine.refine(
+            t_logits, views.affine, views.affine_inv, views.padding,
+            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
+        running_conf = sac_core.update_running_conf(
+            running_conf, diags["teacher_probs"], scfg.stat_momentum,
+            scfg.threshold_beta, axis_name=axis_name)
+        pseudo, conf, _ = sac_core.pseudo_labels(
+            refined, views.padding, running_conf,
+            upper=scfg.run_conf_upper, lower=scfg.run_conf_lower,
+            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount)
+        pseudo = jax.lax.stop_gradient(pseudo)
+        conf = jax.lax.stop_gradient(conf)
+
+        # ---- fused source + target loss -----------------------------------
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            _, src_up = model.apply(variables, src_frames,
+                                    train=False, update_stats=False)
+            ce_src = sac_core.cross_entropy_mean(src_up, src_lbls)
+            _, tgt_up = model.apply(variables, views.frames_aug,
+                                    train=False, update_stats=False)
+            self_ce, per_class = sac_core.focal_ce(
+                tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
+                use_conf=scfg.use_conf_loss)
+            total = scfg.lr_target * self_ce
+            if not scfg.target_only:
+                total = total + ce_src
+            return total, (ce_src, self_ce, per_class)
+
+        grads, (ce_src, self_ce, per_class) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = _pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            teacher_params=teacher["params"],
+            teacher_stats=teacher["stats"],
+            running_conf=running_conf,
+            slow_init=slow_init,
+            step=state.step + 1,
+        )
+        metrics = _pmean({
+            "src_loss_ce": ce_src,
+            "self_ce": self_ce,
+            "teacher_diff": teacher_diff,
+            "pseudo_cover": jnp.mean((pseudo != sac_core.IGNORE).astype(
+                jnp.float32)),
+        }, axis_name)
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# ABN baseline step
+# ---------------------------------------------------------------------------
+
+def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
+    """ABN: source CE training with live BN + target stats-only pass.
+
+    ``batch`` = (src_images, src_labels, tgt_images [B_t,Ht,Wt,3],
+    tgt_labels) — the baseline's target loader is a plain source-style
+    dataset (datasets/__init__.py:51-53), so the target branch uses the
+    source geometric pipeline with standard normalization.
+    """
+
+    def step(state, batch, rng):
+        src_images, src_labels, tgt_images, tgt_labels = batch
+        rng = jax.random.fold_in(rng, state.step)
+        rng = _fold_axis(rng, axis_name)
+        k_src, k_tgt = jax.random.split(rng)
+
+        src_frames, src_lbls = pipelines.augment_source_batch(
+            k_src, src_images, src_labels, crop_hw=scfg.crop_hw,
+            scale_range=scfg.src_scale, hflip=scfg.src_hflip,
+            jitter=scfg.src_jitter, blur=scfg.src_blur,
+            mean=scfg.src_mean, std=scfg.src_std)
+        tgt_frames, tgt_lbls_o = pipelines.augment_source_batch(
+            k_tgt, tgt_images, tgt_labels, crop_hw=scfg.crop_hw,
+            scale_range=scfg.src_scale, hflip=scfg.src_hflip,
+            jitter=scfg.src_jitter, blur=scfg.src_blur,
+            mean=scfg.mean, std=scfg.std)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (_, src_up), mut = model.apply(
+                variables, src_frames, train=True, update_stats=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(k_src, 1)})
+            ce = sac_core.cross_entropy_mean(src_up, src_lbls)
+            return ce, mut["batch_stats"]
+
+        (ce_src, stats_after_src), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = _pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # target pass: BN statistics only, no gradient (train.py:286-289)
+        variables = {"params": params, "batch_stats": stats_after_src}
+        (_, tgt_up), mut = model.apply(
+            variables, tgt_frames, train=True, update_stats=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(k_tgt, 1)})
+        ce_tgt = sac_core.cross_entropy_mean(tgt_up, tgt_lbls_o)
+
+        new_state = state.replace(
+            params=params,
+            batch_stats=mut["batch_stats"],
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = _pmean({"src_loss_ce": ce_src, "loss_ce": ce_tgt},
+                         axis_name)
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# evaluation steps
+# ---------------------------------------------------------------------------
+
+def make_eval_step(model, scfg: StepConfig, axis_name: Optional[str] = None,
+                   teacher: bool = False):
+    """Plain eval: normalized forward -> argmax -> confusion [C, C]."""
+
+    def step(state, images_u8, labels):
+        from dasac_tpu.aug import photometric as P
+
+        x = P.normalize(images_u8.astype(jnp.float32) / 255.0,
+                        scfg.mean, scfg.std)
+        params = state.teacher_params if teacher else state.params
+        stats = state.teacher_stats if teacher else state.batch_stats
+        _, up = model.apply({"params": params, "batch_stats": stats},
+                            x, train=False, update_stats=False)
+        pred = jnp.argmax(up, -1)
+        conf = confusion_matrix(pred, labels, scfg.num_classes)
+        if axis_name is not None:
+            conf = jax.lax.psum(conf, axis_name)
+        return conf
+
+    return step
+
+
+def make_target_eval_step(model, scfg: StepConfig,
+                          axis_name: Optional[str] = None):
+    """Target-group eval: confusions for the reference's four layers
+    (logits_up / teacher_init / teacher_refined / teacher_labels,
+    train.py:388)."""
+
+    def step(state, tgt_images, tgt_labels, rng):
+        views = pipelines.augment_target_groups(
+            _fold_axis(rng, axis_name), tgt_images, tgt_labels,
+            group_size=scfg.group_size, target_scale=scfg.target_scale,
+            zoom=scfg.zoom, group_hflip=scfg.group_hflip,
+            guided_hflip=scfg.guided_hflip, blur=scfg.tgt_blur,
+            jitter=scfg.tgt_jitter, greyscale=scfg.tgt_greyscale,
+            mean=scfg.mean, std=scfg.std)
+
+        student = {"params": state.params, "batch_stats": state.batch_stats}
+        tparams = {"params": state.teacher_params,
+                   "batch_stats": state.teacher_stats}
+        _, student_up = model.apply(student, views.frames_aug,
+                                    train=False, update_stats=False)
+        t_logits, t_up = model.apply(tparams, views.frames_clean,
+                                     train=False, update_stats=False)
+        refined, _ = sac_refine.refine(
+            t_logits, views.affine, views.affine_inv, views.padding,
+            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
+        pseudo, _, _ = sac_core.pseudo_labels(
+            refined, views.padding, state.running_conf,
+            upper=scfg.run_conf_upper, lower=scfg.run_conf_lower,
+            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount)
+
+        confs = {
+            "logits_up": confusion_matrix(
+                jnp.argmax(student_up, -1), views.labels, scfg.num_classes),
+            "teacher_init": confusion_matrix(
+                jnp.argmax(t_up, -1), views.labels, scfg.num_classes),
+            "teacher_refined": confusion_matrix(
+                jnp.argmax(refined, -1), views.labels, scfg.num_classes),
+            "teacher_labels": confusion_matrix(
+                pseudo, views.labels, scfg.num_classes),
+        }
+        if axis_name is not None:
+            confs = jax.lax.psum(confs, axis_name)
+        return confs
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# sharding wrappers
+# ---------------------------------------------------------------------------
+
+def shard_train_step(step_fn, mesh, axis_name="data"):
+    """Wrap a per-shard step for SPMD: batch sharded on axis 0, state and rng
+    replicated.  Gradients/metrics are pmean'd inside the step, so outputs
+    stay replicated."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), (P(axis_name), P(axis_name), P(axis_name),
+                        P(axis_name)), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -73,7 +73,7 @@ def test_cross_replica_bn_matches_global_batch():
     """Sync BN over the 8-device mesh == plain BN over the concatenated batch
     (the reference's SyncBatchNorm guarantee, deeplabv2.py:183)."""
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ndev = len(jax.devices())
     assert ndev == 8, "conftest should have forced 8 CPU devices"
@@ -88,7 +88,7 @@ def test_cross_replica_bn_matches_global_batch():
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P("data")), out_specs=(P("data"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_bn(vs, xs):
         y, mut = bn_sync.apply(vs, xs, use_running_average=False,
