@@ -1,0 +1,160 @@
+"""Dataloader factory (parity with datasets/__init__.py:14-78).
+
+Builds host-side prefetch loaders for:
+  * source train split (renormalisation handled on-device by the step config)
+  * target train split — SAC: importance-sampled groups at CROP_SIZE;
+    ABN baseline: plain source-style loader
+  * the four validation splits per task, plus the checkpoint-selection set
+"""
+
+import numpy as np
+from PIL import Image
+
+from dasac_tpu.data import host_loader, lists, sampler
+from dasac_tpu.data.category import get_class_names, get_num_classes
+
+
+def get_val_sets(task):
+    """(val splits, checkpoint-selection split) — datasets/__init__.py:21-27."""
+    if task == "train_game_9K":
+        return ("val_game_1K", "train_cityscapes", "val_cityscapes",
+                "val2_cityscapes"), "val2_cityscapes"
+    if task == "train_synthia_9K":
+        return ("val_synthia", "train_cityscapes", "val_cityscapes",
+                "val2_cityscapes"), "val2_cityscapes"
+    raise NotImplementedError("Train split '{}' not recognised".format(task))
+
+
+def _probe_size(path):
+    with Image.open(path) as im:
+        return (im.size[1], im.size[0])
+
+
+def _split_size(split, images):
+    probed = _probe_size(images[0])
+    if "game" in split:
+        # GTA frames vary slightly in size; the reference standardizes them
+        # to 1052x1914 (dataloader_seg.py:151-153).  Synthetic/test data is
+        # far smaller — forcing the canonical size there would upscale 20x,
+        # so only apply it within a plausible range.
+        forced = lists.canonical_size(split)
+        if probed[0] >= forced[0] // 2:
+            return forced
+    return probed
+
+
+class Loaders:
+    """Bundle the trainer consumes."""
+
+    def __init__(self, cfg, num_replicas=1, rank=0, seed=0):
+        self.cfg = cfg
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.num_classes = get_num_classes()
+        self.class_names = get_class_names()
+        root = cfg.DATASET.ROOT
+        task = cfg.TRAIN.TASK
+        threads = cfg.TPU.LOADER_THREADS
+        prefetch = cfg.TPU.PREFETCH
+        crop = tuple(cfg.DATASET.CROP_SIZE)
+
+        # ---- source train ---------------------------------------------------
+        src_imgs, src_msks = lists.read_split(root, task)
+        self.source = host_loader.SegDataset(
+            src_imgs, src_msks, _split_size(task, src_imgs), mode="resize")
+
+        # ---- target train ---------------------------------------------------
+        tgt_split = cfg.TRAIN.TARGET
+        tgt_imgs, tgt_msks = lists.read_split(root, tgt_split)
+        if cfg.MODEL.BASELINE:
+            self.target = host_loader.SegDataset(
+                tgt_imgs, tgt_msks, _split_size(tgt_split, tgt_imgs),
+                mode="resize")
+            self.importance = None
+        else:
+            # SAC target groups are decoded straight at CROP_SIZE (the
+            # reference's MaskScale(CROP_SIZE) head of the pipeline)
+            self.target = host_loader.SegDataset(
+                tgt_imgs, tgt_msks, crop, mode="resize")
+            weights = sampler.load_sample_weights(cfg.DATASET.SAMPLE_WEIGHTS)
+            self.importance = sampler.ImportanceSampler(
+                len(tgt_imgs), self.num_classes,
+                mask_names=self.target.mask_basenames(),
+                weights=weights,
+                prior_weight=cfg.DATASET.SAMPLE_UNIFORM_PRIOR,
+                ignore_class=tuple(cfg.VAL.IGNORE_CLASS))
+        # epoch alignment (datasets/__init__.py:56)
+        self.target.set_num_samples(len(self.source))
+
+        # ---- validation -----------------------------------------------------
+        val_sets, self.testset = get_val_sets(task)
+        self.val = {}
+        for vs in val_sets:
+            vi, vm = lists.read_split(root, vs)
+            if cfg.DATASET.VAL_CROP:
+                ds = host_loader.SegDataset(vi, vm, crop, mode="center_crop")
+            else:
+                ds = host_loader.SegDataset(vi, vm, crop, mode="resize")
+            self.val[vs] = ds
+
+    # ---- per-epoch loader builders -----------------------------------------
+
+    def source_batch_size(self):
+        return max(1, self.cfg.TRAIN.BATCH_SIZE)
+
+    def target_batch_size(self):
+        if self.cfg.MODEL.BASELINE:
+            return max(1, self.cfg.TRAIN.NUM_GROUPS)
+        return max(1, self.cfg.TRAIN.NUM_GROUPS)
+
+    def steps_per_epoch(self):
+        n_src = len(self.source) // self.source_batch_size()
+        n_tgt = len(self.target) // self.target_batch_size()
+        return max(1, min(n_src, n_tgt))
+
+    def train_loaders(self, epoch):
+        cfg = self.cfg
+        steps = self.steps_per_epoch()
+        bs_src = self.source_batch_size()
+        bs_tgt = self.target_batch_size()
+
+        s_sampler = sampler.EpochSampler(
+            len(self.source), shuffle=True, seed=self.seed, drop_last=True)
+        s_sampler.set_epoch(epoch)
+        src_loader = host_loader.PrefetchLoader(
+            self.source, bs_src, steps,
+            host_loader.make_plain_index_fn(s_sampler.indices(), bs_src),
+            threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
+
+        t_sampler = sampler.EpochSampler(
+            len(self.target), shuffle=True, seed=self.seed + 1, drop_last=True)
+        t_sampler.set_epoch(epoch)
+        if self.importance is not None:
+            index_fn = host_loader.make_importance_index_fn(
+                self.importance, t_sampler.indices(), bs_tgt, epoch,
+                seed=self.seed)
+        else:
+            index_fn = host_loader.make_plain_index_fn(
+                t_sampler.indices(), bs_tgt)
+        tgt_loader = host_loader.PrefetchLoader(
+            self.target, bs_tgt, steps, index_fn,
+            threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
+        return src_loader, tgt_loader
+
+    def val_loader(self, split, batch_size=None, max_batches=None):
+        ds = self.val[split]
+        bs = batch_size or max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
+        n = -(-len(ds) // bs)
+        if max_batches:
+            n = min(n, max_batches)
+        idx = np.arange(len(ds))
+        # pad the tail batch with all-ignore dummies (index -1) so static
+        # batch shapes never double-count images in the confusion
+        pad = n * bs - len(idx)
+        if pad > 0:
+            idx = np.concatenate([idx, np.full(pad, -1)])
+        return host_loader.PrefetchLoader(
+            ds, bs, n, host_loader.make_plain_index_fn(idx, bs),
+            threads=self.cfg.TPU.LOADER_THREADS,
+            prefetch=self.cfg.TPU.PREFETCH)

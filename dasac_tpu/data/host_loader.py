@@ -1,0 +1,163 @@
+"""Host-side decode + prefetch pipeline feeding uint8 batches to the device.
+
+Replaces torch DataLoader workers (the reference's multiprocess PIL pipeline)
+with a thread pool: PIL decode releases the GIL in its C core, geometric and
+photometric augmentation happens on-device (dasac_tpu/aug), so the host only
+decodes, optionally resizes/crops, and stacks uint8 arrays.  Batches are
+prefetched ahead of the training step (SURVEY.md §7 hard part #4).
+
+When the native C++ decoder (dasac_tpu/data/native.py) is available it is
+used instead of PIL for PNG decode + resize.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+from dasac_tpu.data.category import IGNORE_LABEL
+
+
+def _load_pair(img_path, mask_path, out_hw, mode):
+    """Decode one (image, mask) pair to uint8 arrays sized ``out_hw``."""
+    img = Image.open(img_path).convert("RGB")
+    if mask_path is None:
+        mask = Image.new("L", img.size, IGNORE_LABEL)
+    else:
+        mask = Image.open(mask_path).convert("L")
+    assert img.size == mask.size, (img_path, img.size, mask.size)
+
+    if mode == "native":
+        pass
+    elif mode == "resize":
+        if out_hw is not None and (img.size[1], img.size[0]) != tuple(out_hw):
+            img = img.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+            mask = mask.resize((out_hw[1], out_hw[0]), Image.NEAREST)
+    elif mode == "center_crop":
+        img = _center_crop(img, out_hw, fill=0)
+        mask = _center_crop(mask, out_hw, fill=IGNORE_LABEL)
+    else:
+        raise ValueError(mode)
+    return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
+
+
+def _center_crop(im, out_hw, fill=0):
+    th, tw = out_hw
+    w, h = im.size
+    if w < tw or h < th:
+        new = Image.new(im.mode, (max(w, tw), max(h, th)),
+                        fill if im.mode == "L" else (fill,) * 3)
+        new.paste(im, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
+        im = new
+        w, h = im.size
+    left = (w - tw) // 2
+    top = (h - th) // 2
+    return im.crop((left, top, left + tw, top + th))
+
+
+class SegDataset:
+    """File lists + decode policy for one split."""
+
+    def __init__(self, images, masks, out_hw, mode="resize"):
+        self.images = images
+        self.masks = masks
+        self.out_hw = tuple(out_hw) if out_hw is not None else None
+        self.mode = mode
+        self.num_samples = len(images)  # may be overridden (epoch alignment)
+
+    def set_num_samples(self, n):
+        self.num_samples = n
+
+    def __len__(self):
+        return self.num_samples
+
+    def load(self, i):
+        if i < 0:
+            # padding sample (fills a partial tail batch): contributes nothing
+            assert self.out_hw is not None
+            return (np.zeros((*self.out_hw, 3), np.uint8),
+                    np.full(self.out_hw, IGNORE_LABEL, np.uint8))
+        i = i % len(self.images)
+        return _load_pair(self.images[i], self.masks[i], self.out_hw, self.mode)
+
+    def mask_basenames(self):
+        import os
+
+        return [None if m is None else os.path.basename(m) for m in self.masks]
+
+
+class PrefetchLoader:
+    """Iterates batches of decoded samples with thread-pool prefetch.
+
+    ``index_fn(batch_idx) -> list[int]`` decides which samples form a batch
+    (plain slicing for source/val; importance sampling for target groups).
+    """
+
+    def __init__(self, dataset, batch_size, num_batches, index_fn,
+                 threads=8, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.index_fn = index_fn
+        self.threads = threads
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return self.num_batches
+
+    def _assemble(self, pool, bi):
+        idxs = self.index_fn(bi)
+        pairs = list(pool.map(self.dataset.load, idxs))
+        imgs = np.stack([p[0] for p in pairs])
+        msks = np.stack([p[1] for p in pairs])
+        return imgs, msks
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.threads) as pool:
+                for bi in range(self.num_batches):
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble(pool, bi))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def make_plain_index_fn(sampler_indices, batch_size):
+    idx = np.asarray(sampler_indices)
+
+    def fn(bi):
+        return idx[bi * batch_size:(bi + 1) * batch_size].tolist()
+
+    return fn
+
+
+def make_importance_index_fn(importance, order, batch_size, epoch, seed=0):
+    """Target-group batches: each slot draws an image by class-uniform
+    importance sampling, seeded deterministically per (epoch, slot)."""
+
+    def fn(bi):
+        out = []
+        for k in range(batch_size):
+            slot = int(order[(bi * batch_size + k) % len(order)])
+            rng = np.random.RandomState(
+                (seed * 9973 + epoch * 131071 + slot) % (2**31 - 1))
+            out.append(importance.sample(slot, rng))
+        return out
+
+    return fn

@@ -1,0 +1,104 @@
+"""Samplers: distributed epoch shuffling and class-uniform importance
+sampling (reference ``DistributedSampler`` usage + ``DataTarget``'s
+inverse-CDF sampling, dataloader_target.py:146-198,264-272)."""
+
+import bisect
+import os
+import pickle
+
+import numpy as np
+
+
+class EpochSampler:
+    """Deterministic per-epoch shuffle, shardable across hosts (the
+    reference's torch DistributedSampler semantics: epoch-seeded permutation,
+    rank-strided slice, padded to equal length)."""
+
+    def __init__(self, num_samples, num_replicas=1, rank=0, shuffle=True,
+                 seed=0, drop_last=False):
+        self.num_samples = num_samples
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def indices(self):
+        n = self.num_samples
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + self.epoch)
+            order = g.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.drop_last:
+            per = n // self.num_replicas
+            order = order[: per * self.num_replicas]
+        else:
+            per = -(-n // self.num_replicas)
+            pad = per * self.num_replicas - n
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        return order[self.rank::self.num_replicas]
+
+
+def load_sample_weights(path):
+    """Load IS weights {mask_basename: {class_id: fraction}}.
+
+    Accepts our pickle format and the reference's torch.save format
+    (compute_IS_weights.py:97 uses torch.save).
+    """
+    if not path or not os.path.isfile(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+class ImportanceSampler:
+    """Class-uniform importance sampling over the target split.
+
+    index -> class c = index % C; sample id drawn by inverse CDF over
+    per-class cumulative weights.  Weight construction matches
+    init_sampling: ``prior_weight * uniform + (1-prior_weight) * class_pixel
+    _fraction``; classes in ``ignore_class`` fall back to uniform.
+    """
+
+    def __init__(self, num_images, num_classes, mask_names=None, weights=None,
+                 prior_weight=0.25, ignore_class=()):
+        self.num_classes = num_classes
+        prior = 1.0 / num_images
+        cum = np.full((num_classes, num_images), prior, np.float64)
+        if weights is not None:
+            assert mask_names is not None
+            assert len(weights) == num_images, (
+                "IS weights cover {} images, split has {}".format(
+                    len(weights), num_images))
+            index = {name: i for i, name in enumerate(mask_names)}
+            cum *= prior_weight
+            for name, stat in weights.items():
+                i = index[name]
+                for cid, val in stat.items():
+                    cid = int(cid)
+                    if cid < num_classes:
+                        cum[cid, i] += (1.0 - prior_weight) * float(val)
+            for cid in ignore_class:
+                cum[cid, :] = prior
+        cum = np.cumsum(cum, axis=1)
+        totals = cum[:, -1]
+        assert np.all(np.abs(totals - 1.0) < 1e-3), totals
+        self._cum = cum
+
+    def sample(self, index, rng):
+        """(split-index, np.random.RandomState) -> image id."""
+        cid = index % self.num_classes
+        row = self._cum[cid]
+        r = rng.uniform(0, row[-1])
+        return int(np.searchsorted(row, r, side="left"))

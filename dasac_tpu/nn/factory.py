@@ -10,12 +10,14 @@ from typing import Optional
 import jax.numpy as jnp
 
 from dasac_tpu.nn.resnet import DeepLabV2ResNet101
+from dasac_tpu.nn.tiny import TinySeg
 from dasac_tpu.nn.vgg import DeepLabV2VGG16, VGG16FCN8s
 
 ARCHS = {
     "deeplabv2_resnet101": DeepLabV2ResNet101,
     "deeplabv2_vgg16_bn": DeepLabV2VGG16,
     "fcn_vgg16_bn": VGG16FCN8s,
+    "tiny": TinySeg,  # CI smoke arch, not a reference model
 }
 
 
@@ -46,4 +48,6 @@ def new_param_scopes(arch: str):
     if key == "fcn_vgg16_bn":
         return ("head_fc6", "head_bn6", "head_fc7", "head_bn7", "head_score",
                 "score_pool4", "score_pool3")
+    if key == "tiny":
+        return ("aspp",)
     raise ValueError(arch)

@@ -1,0 +1,268 @@
+"""Trainer: epoch loop, validation cadence, checkpoint-best — the control
+plane around the compiled steps (reference train.py:48-533 restructured: the
+per-iteration work is one device program; the host only feeds uint8 batches
+and reads back scalar metrics once per log interval).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dasac_tpu.core.mesh import DATA_AXIS, make_mesh, shard_batch
+from dasac_tpu.core.state import create_train_state
+from dasac_tpu.data.factory import Loaders
+from dasac_tpu.nn import convert
+from dasac_tpu.nn.factory import build_model, compute_dtype
+from dasac_tpu.train import optim as optim_lib
+from dasac_tpu.train import steps as steps_lib
+from dasac_tpu.train.checkpoints import BestTracker, Checkpointer
+from dasac_tpu.train.metrics import StatManager, summarise
+from dasac_tpu.utils.logging import ScalarWriter
+from dasac_tpu.utils.timer import Timer
+
+
+class Trainer:
+    def __init__(self, args, cfg, seed=0):
+        self.args = args
+        self.cfg = cfg
+        self.seed = getattr(args, "seed", None) or seed
+
+        n_dev = cfg.TPU.MESH_DEVICES
+        if not n_dev:
+            # auto: largest device count dividing both batch dimensions
+            n_dev = _auto_mesh_size(len(jax.devices()),
+                                    cfg.TRAIN.BATCH_SIZE,
+                                    cfg.TRAIN.NUM_GROUPS)
+        self.mesh = make_mesh(n_dev)
+        self.n_dev = int(self.mesh.devices.size)
+        self.sharded = self.n_dev > 1
+        axis = DATA_AXIS if self.sharded else None
+        print("Mesh: {} device(s){}".format(
+            self.n_dev, " (data-parallel)" if self.sharded else ""))
+
+        self.loaders = Loaders(cfg, seed=self.seed)
+        self.nclass = self.loaders.num_classes
+        self.class_names = self.loaders.class_names
+
+        dtype = compute_dtype(cfg.TPU)
+        self.arch = cfg.MODEL.ARCH
+        self.model = build_model(self.arch, self.nclass, dtype=dtype,
+                                 axis_name=axis)
+
+        # state + optimizer
+        sample_hw = tuple(cfg.DATASET.CROP_SIZE)
+        dummy_params = None
+        self.scfg = steps_lib.step_config_from_cfg(cfg)._replace(
+            num_classes=self.nclass)
+        state = create_train_state(
+            self.model, _TxLazy(), self.nclass, (*sample_hw, 3),
+            rng=jax.random.PRNGKey(self.seed),
+            threshold_beta=cfg.MODEL.THRESHOLD_BETA)
+        self.tx, _ = optim_lib.build_optimizer(cfg.MODEL, self.arch,
+                                               state.params)
+        state = state.replace(opt_state=self.tx.init(state.params))
+
+        # ImageNet init (MODEL.INIT_MODEL, models/__init__.py:22-25)
+        init_model = cfg.MODEL.INIT_MODEL
+        if init_model and os.path.isfile(init_model):
+            sd = convert.load_torch_file(init_model)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            new_vars, n_loaded, _ = convert.apply_state_dict(
+                variables, sd.get("model", sd), self.arch, "torchvision")
+            print("Loaded {} backbone tensors from {}".format(
+                n_loaded, init_model))
+            state = state.replace(params=new_vars["params"],
+                                  batch_stats=new_vars["batch_stats"],
+                                  teacher_params=jax.tree.map(
+                                      jnp.copy, new_vars["params"]),
+                                  teacher_stats=jax.tree.map(
+                                      jnp.copy, new_vars["batch_stats"]))
+        elif init_model:
+            print("Backbone model not found: {}".format(init_model))
+
+        # checkpointing / resume
+        self.checkpointer = Checkpointer(
+            getattr(args, "snapshot_dir", None) or "./snapshots")
+        self.checkpointer.arch = self.arch
+        self.start_epoch, best = 0, -1e16
+        resume = getattr(args, "resume", None)
+        if resume:
+            state, self.start_epoch, best = self.checkpointer.load(
+                resume, state)
+            print("Resumed from {} (epoch {}, score {:.3f})".format(
+                resume, self.start_epoch, best))
+        self.best = BestTracker(self.checkpointer, best)
+        self.state = state
+
+        # compiled steps
+        if cfg.MODEL.BASELINE:
+            per_shard = steps_lib.make_abn_step(self.model, self.tx,
+                                                self.scfg, axis)
+        else:
+            per_shard = steps_lib.make_sac_step(self.model, self.tx,
+                                                self.scfg, axis)
+        if self.sharded:
+            self.train_step = steps_lib.shard_train_step(per_shard, self.mesh)
+        else:
+            self.train_step = jax.jit(per_shard, donate_argnums=(0,))
+        self.eval_step = jax.jit(
+            steps_lib.make_eval_step(self.model, self.scfg))
+        self.eval_step_teacher = jax.jit(
+            steps_lib.make_eval_step(self.model, self.scfg, teacher=True))
+        self.target_eval_step = jax.jit(
+            steps_lib.make_target_eval_step(self.model, self.scfg))
+
+        # writers
+        logdir = getattr(args, "logdir", None) or "./logs"
+        self.writer = ScalarWriter(os.path.join(logdir, "train"))
+        self.writer_target = ScalarWriter(os.path.join(logdir, "train_target"))
+        self.writer_val = {
+            vs: ScalarWriter(os.path.join(logdir, vs))
+            for vs in self.loaders.val
+        }
+        self.rng = jax.random.PRNGKey(self.seed)
+
+    # ------------------------------------------------------------------ train
+
+    def _place(self, batch):
+        if self.sharded:
+            return shard_batch(self.mesh, batch)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def train_epoch(self, epoch, log_every=10):
+        cfg = self.cfg
+        stat = StatManager()
+        timer = Timer()
+        src_loader, tgt_loader = self.loaders.train_loaders(epoch)
+        images_per_step = (cfg.TRAIN.BATCH_SIZE +
+                           cfg.TRAIN.NUM_GROUPS * cfg.TRAIN.GROUP_SIZE)
+
+        pending = None  # delay metric readback by one step (no sync stall)
+        for i, ((src_i, src_l), (tgt_i, tgt_l)) in enumerate(
+                zip(src_loader, tgt_loader)):
+            batch = self._place((src_i, src_l, tgt_i, tgt_l))
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            if pending is not None:
+                self._log_train(stat, pending, epoch)
+            pending = (i, metrics)
+            if i % log_every == 0:
+                mvals = {k: float(v) for k, v in metrics.items()}
+                rate = (i + 1) * images_per_step / timer.elapsed()
+                msg = " | ".join("{} {:.4f}".format(k, v)
+                                 for k, v in sorted(mvals.items()))
+                print("Loss [{:04d}]: {} | Im/Sec: {:.1f}".format(
+                    i, msg, rate))
+        if pending is not None:
+            self._log_train(stat, pending, epoch)
+
+        for name, val in stat.items():
+            self.writer.add_scalar("train_epoch/{}".format(name), val, epoch)
+        return stat
+
+    def _log_train(self, stat, pending, epoch):
+        _, metrics = pending
+        for k, v in metrics.items():
+            stat.update_stats(k, float(v))
+
+    # ------------------------------------------------------------- validation
+
+    def validation(self, epoch, split, max_batches=None, use_teacher=False,
+                   target_mode=False):
+        """Returns the best layer's mIoU on the split (reference
+        train.py:339-469)."""
+        ignore = set(self.cfg.VAL.IGNORE_CLASS)
+        writer = self.writer_val.get(split, self.writer)
+        if target_mode:
+            return self._validation_target(epoch, max_batches)
+
+        loader = self.loaders.val_loader(split, max_batches=max_batches)
+        conf = None
+        step = self.eval_step_teacher if use_teacher else self.eval_step
+        for imgs, lbls in loader:
+            c = step(self.state, jnp.asarray(imgs),
+                     jnp.asarray(lbls.astype(np.int32)))
+            conf = c if conf is None else conf + c
+        return self._publish(writer, "logits_up", np.asarray(conf), epoch,
+                             ignore)
+
+    def _validation_target(self, epoch, max_batches):
+        ignore = set(self.cfg.VAL.IGNORE_CLASS)
+        epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
+        bs = self.loaders.target_batch_size()
+        src_like, tgt_loader = self.loaders.train_loaders(epoch)
+        confs = None
+        for bi, (imgs, lbls) in enumerate(tgt_loader):
+            if max_batches and bi >= max_batches:
+                break
+            c = self.target_eval_step(
+                self.state, jnp.asarray(imgs),
+                jnp.asarray(lbls.astype(np.int32)),
+                jax.random.fold_in(epoch_key, bi))
+            confs = c if confs is None else jax.tree.map(
+                lambda a, b: a + b, confs, c)
+        best = 0.0
+        for layer, conf in confs.items():
+            best = max(best, self._publish(
+                self.writer_target, layer, np.asarray(conf), epoch, ignore))
+        return best
+
+    def _publish(self, writer, layer, conf, epoch, ignore):
+        iou, pr, re = summarise(conf)
+        keep = [i for i in range(self.nclass) if i not in ignore]
+        for ni, cname in enumerate(self.class_names):
+            label = "{}_{:02d}_{}".format(layer, ni, cname)
+            writer.add_scalar("{}/IoU".format(label), iou[ni], epoch)
+            writer.add_scalar("{}/Precision".format(label), pr[ni], epoch)
+            writer.add_scalar("{}/Recall".format(label), re[ni], epoch)
+        miou = float(np.mean(iou[keep]))
+        writer.add_scalar("{}_all/mIoU".format(layer), miou, epoch)
+        writer.add_scalar("{}_all/Precision".format(layer),
+                          float(np.mean(pr[keep])), epoch)
+        writer.add_scalar("{}_all/Recall".format(layer),
+                          float(np.mean(re[keep])), epoch)
+        print("[{}] mIoU {:.3f}".format(layer, miou))
+        return miou
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, num_epochs=None, snapshot=True):
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.TRAIN.NUM_EPOCHS
+        log_val = cfg.LOG.ITER_VAL
+        log_target = cfg.LOG.ITER_TARGET
+        for epoch in range(self.start_epoch, num_epochs + 1):
+            print("Epoch >>> {:02d} <<<".format(epoch))
+            if epoch > self.start_epoch and epoch % log_target == 0 \
+                    and not cfg.MODEL.BASELINE:
+                self.validation(epoch, cfg.TRAIN.TARGET, max_batches=300,
+                                target_mode=True)
+            if epoch > self.start_epoch and epoch % log_val == 0:
+                score = 0.0
+                for vs in self.loaders.val:
+                    s = self.validation(epoch, vs)
+                    if vs == self.loaders.testset:
+                        score += s
+                if snapshot:
+                    saved = self.best.update(self.state, score, epoch)
+                    if saved:
+                        print("New best snapshot: {}".format(saved))
+            self.train_epoch(epoch)
+        return self.state
+
+
+def _auto_mesh_size(available, batch_size, num_groups):
+    n = min(available, batch_size, num_groups)
+    while n > 1 and (batch_size % n or num_groups % n):
+        n -= 1
+    return max(1, n)
+
+
+class _TxLazy:
+    """Placeholder optimizer for two-phase state init (params must exist
+    before the multi_transform labels can be built)."""
+
+    def init(self, params):
+        return ()

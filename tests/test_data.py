@@ -1,0 +1,102 @@
+"""Data-layer tests: split lists, epoch sampler, importance sampling
+distribution, prefetch loader determinism."""
+
+import numpy as np
+import pytest
+
+from dasac_tpu.data import host_loader, lists, sampler
+from dasac_tpu.data.synth import make_synthetic_root
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return make_synthetic_root(str(tmp_path_factory.mktemp("d")),
+                               hw=(32, 40), n_train_src=6, n_train_tgt=5,
+                               n_val=3)
+
+
+def test_read_split(root):
+    imgs, msks = lists.read_split(root, "train_game_9K")
+    assert len(imgs) == 6 and all(m is not None for m in msks)
+
+
+def test_epoch_sampler_determinism_and_sharding():
+    s = sampler.EpochSampler(10, shuffle=True, seed=3)
+    s.set_epoch(2)
+    a = s.indices()
+    b = s.indices()
+    np.testing.assert_array_equal(a, b)
+    s.set_epoch(3)
+    assert not np.array_equal(a, s.indices())
+    # rank sharding covers all samples exactly once (padded)
+    shards = []
+    for r in range(2):
+        sr = sampler.EpochSampler(10, num_replicas=2, rank=r, seed=3)
+        sr.set_epoch(2)
+        shards.append(sr.indices())
+    allidx = np.concatenate(shards)
+    assert len(allidx) == 10
+    assert set(allidx) == set(range(10))
+
+
+def test_importance_sampler_uniform_without_weights():
+    imp = sampler.ImportanceSampler(4, num_classes=3)
+    rng = np.random.RandomState(0)
+    draws = [imp.sample(i, rng) for i in range(3000)]
+    counts = np.bincount(draws, minlength=4)
+    assert (np.abs(counts / 3000 - 0.25) < 0.05).all()
+
+
+def test_importance_sampler_weighted():
+    names = ["a.png", "b.png", "c.png", "d.png"]
+    # class 0 pixels live almost entirely in image b
+    weights = {"b.png": {0: 1.0}, "a.png": {1: 1.0},
+               "c.png": {1: 0.0}, "d.png": {2: 1.0}}
+    imp = sampler.ImportanceSampler(
+        4, num_classes=3, mask_names=names, weights=weights,
+        prior_weight=0.2)
+    rng = np.random.RandomState(1)
+    # indices congruent to 0 mod 3 sample class 0 -> mostly image 1 (b)
+    draws = [imp.sample(0, rng) for _ in range(2000)]
+    frac_b = np.mean(np.asarray(draws) == 1)
+    assert frac_b > 0.7, frac_b
+    # ignored classes fall back to uniform
+    imp2 = sampler.ImportanceSampler(
+        4, num_classes=3, mask_names=names, weights=weights,
+        prior_weight=0.2, ignore_class=(0,))
+    draws2 = [imp2.sample(0, rng) for _ in range(2000)]
+    counts = np.bincount(draws2, minlength=4) / 2000
+    assert (np.abs(counts - 0.25) < 0.06).all()
+
+
+def test_prefetch_loader_batches(root):
+    imgs, msks = lists.read_split(root, "train_game_9K")
+    ds = host_loader.SegDataset(imgs, msks, (32, 40), mode="resize")
+    order = np.arange(len(ds))
+    loader = host_loader.PrefetchLoader(
+        ds, 2, 3, host_loader.make_plain_index_fn(order, 2), threads=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    for bi, (im, mk) in enumerate(batches):
+        assert im.shape == (2, 32, 40, 3) and im.dtype == np.uint8
+        assert mk.shape == (2, 32, 40)
+    # deterministic across iterations
+    batches2 = list(loader)
+    np.testing.assert_array_equal(batches[0][0], batches2[0][0])
+
+
+def test_padding_sample():
+    ds = host_loader.SegDataset([], [], (8, 8))
+    im, mk = ds.load(-1)
+    assert (mk == 255).all() and (im == 0).all()
+
+
+def test_center_crop_mode(root):
+    imgs, msks = lists.read_split(root, "val_cityscapes")
+    ds = host_loader.SegDataset(imgs, msks, (16, 16), mode="center_crop")
+    im, mk = ds.load(0)
+    assert im.shape == (16, 16, 3)
+    # crop larger than source pads with ignore
+    ds2 = host_loader.SegDataset(imgs, msks, (64, 64), mode="center_crop")
+    im2, mk2 = ds2.load(0)
+    assert (mk2[0, :] == 255).all()

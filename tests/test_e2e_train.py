@@ -1,0 +1,58 @@
+"""End-to-end CLI training test: synthetic data on disk -> train.py main()
+-> epochs with validation + best-checkpointing -> resume (SURVEY.md §4:
+CPU-runnable end-to-end config exercising the full SAC train step)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dasac_tpu.data.synth import make_synthetic_root
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    return make_synthetic_root(str(root), hw=(48, 64), n_train_src=4,
+                               n_train_tgt=4, n_val=2)
+
+
+def _run_train(synth_root, tmp_path, extra=()):
+    import train as train_cli
+
+    argv = [
+        "--cfg", os.path.join(os.path.dirname(__file__), "..", "configs",
+                              "tiny_cpu.yaml"),
+        "--snapshot-dir", str(tmp_path / "snap"),
+        "--logdir", str(tmp_path / "logs"),
+        "--exp", "e2e", "--run", "t0",
+        "--workers", "2",
+        "--set", "DATASET.ROOT", str(synth_root),
+        "TRAIN.NUM_EPOCHS", "2",
+    ] + list(extra)
+    train_cli.main(argv)
+    return tmp_path
+
+
+def test_cli_sac_training_end_to_end(synth_root, tmp_path):
+    _run_train(synth_root, tmp_path)
+    # events logged
+    ev = glob.glob(str(tmp_path / "logs" / "**" / "events.jsonl"),
+                   recursive=True)
+    assert ev, "no event logs written"
+    # a best snapshot was saved after validation
+    snaps = glob.glob(str(tmp_path / "snap" / "**" / "*.ckpt"),
+                      recursive=True)
+    assert snaps, "no checkpoint saved"
+
+    # resume from the snapshot (exercises state round-trip)
+    _run_train(synth_root, tmp_path, extra=["--resume", snaps[0]])
+
+
+def test_cli_abn_training_end_to_end(synth_root, tmp_path):
+    _run_train(synth_root, tmp_path,
+               extra=["MODEL.BASELINE", "True", "LOG.ITER_VAL", "2"])
+    ev = glob.glob(str(tmp_path / "logs" / "**" / "events.jsonl"),
+                   recursive=True)
+    assert ev

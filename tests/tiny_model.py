@@ -1,32 +1,4 @@
-"""Tiny segmentation model with the framework model interface, for fast
-train-step tests (full backbones are exercised in test_models.py)."""
+"""Compatibility shim: the tiny test model moved into the package as the
+registered 'tiny' smoke arch."""
 
-from typing import Optional
-
-import jax.numpy as jnp
-from flax import linen as nn
-
-from dasac_tpu.nn.functional import resize_bilinear_align_corners
-from dasac_tpu.nn.layers import SyncBatchNorm
-
-
-class TinySeg(nn.Module):
-    num_classes: int = 5
-    width: int = 8
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False, update_stats: bool = False):
-        h, w = x.shape[-3], x.shape[-2]
-        y = nn.Conv(self.width, (3, 3), strides=2, name="conv_a")(x)
-        y = nn.relu(SyncBatchNorm(self.width, axis_name=self.axis_name,
-                                  name="bn_a")(y, not update_stats))
-        y = nn.Conv(self.width, (3, 3), strides=2, name="conv_b")(y)
-        y = nn.relu(SyncBatchNorm(self.width, axis_name=self.axis_name,
-                                  name="bn_b")(y, not update_stats))
-        y = nn.Dropout(0.1, broadcast_dims=(1, 2),
-                       deterministic=not train)(y)
-        logits = nn.Conv(self.num_classes, (1, 1), name="aspp")(y)
-        logits = logits.astype(jnp.float32)
-        logits_up = resize_bilinear_align_corners(logits, (h, w))
-        return logits, logits_up
+from dasac_tpu.nn.tiny import TinySeg  # noqa: F401

@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Training entry point — same CLI as the reference train.py.
+
+    python train.py --cfg configs/deeplabv2_resnet101_train.yaml \
+        --exp sac_gta --run v1 [--resume snapshot] [--set KEY VAL ...]
+
+One process drives the whole mesh (SPMD via shard_map); there is no
+mp.spawn / NCCL worker choreography.
+"""
+
+import random
+import sys
+
+import numpy as np
+
+from dasac_tpu.core.config import cfg, cfg_from_file, cfg_from_list
+from dasac_tpu.core.opts import get_arguments
+from dasac_tpu.train.loop import Trainer
+
+
+def main(argv=None):
+    args = get_arguments(argv if argv is not None else sys.argv[1:])
+    cfg_from_file(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
+    if args.workers:
+        cfg.TPU.LOADER_THREADS = args.workers
+
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    trainer = Trainer(args, cfg, seed=args.seed or 0)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()
