@@ -93,7 +93,14 @@ class ImportanceSampler:
                 cum[cid, :] = prior
         cum = np.cumsum(cum, axis=1)
         totals = cum[:, -1]
-        assert np.all(np.abs(totals - 1.0) < 1e-3), totals
+        # classes absent from the weight stats keep only the uniform prior
+        # mass; sampling normalizes by row[-1], so they fall back to uniform
+        assert np.all(totals > 1e-9), totals
+        covered = np.abs(totals - 1.0) < 1e-3
+        if weights is not None and not covered.all():
+            missing = np.nonzero(~covered)[0].tolist()
+            print("ImportanceSampler: classes {} absent from weights, "
+                  "using uniform sampling for them".format(missing))
         self._cum = cum
 
     def sample(self, index, rng):

@@ -1,0 +1,169 @@
+"""Inference engine: full-resolution single- or multi-scale (+flip)
+evaluation and Cityscapes export (reference infer_val.py:50-184, extended
+with the multi-scale+flip protocol).
+
+Exports per image:
+  * ``<name>.png``        — trainId mask, paletted PNG (pixel values ARE the
+                            trainIds, so it is bit-compatible with the
+                            reference's uint8 export while rendering in color)
+  * ``cs/<name>.png``     — Cityscapes labelId mask (for the official
+                            evalPixelLevelSemanticLabeling tool)
+  * ``raw/<name>.npz``    — softmax probabilities (optional)
+  * ``vis/<name>.png``    — overlay visualisation (optional)
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from dasac_tpu.aug import photometric as P
+from dasac_tpu.data import lists
+from dasac_tpu.data.category import (colorize, train_palette,
+                                     trainid_to_cs_table)
+from dasac_tpu.nn.functional import resize_bilinear_align_corners
+from dasac_tpu.train.metrics import confusion_matrix
+
+
+class InferDataset:
+    """Full-resolution loader for an infer list (reference DLInfer /
+    DLCityscapesInfer, dataloader_infer.py:30-124)."""
+
+    def __init__(self, root, split, cityscapes_names=False):
+        self.images, self.masks = lists.read_split(root, split)
+        self.cityscapes_names = cityscapes_names
+
+    def __len__(self):
+        return len(self.images)
+
+    def name(self, i):
+        base = os.path.splitext(os.path.basename(self.images[i]))[0]
+        if self.cityscapes_names:
+            base = base.replace("_leftImg8bit", "_gtFine_labelIds")
+        return base
+
+    def load(self, i):
+        img = Image.open(self.images[i]).convert("RGB")
+        if self.masks[i] is None:
+            mask = Image.new("L", img.size, 255)
+        else:
+            mask = Image.open(self.masks[i]).convert("L")
+        return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
+
+
+def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
+    """Jittable (variables, uint8 [1,H,W,3]) -> averaged softmax [1,H,W,C].
+
+    Scale factors resize the input (bilinear); each scale's logits are
+    upsampled back to native resolution with align_corners=True (matching the
+    model's own upsampling convention) and the softmax maps are averaged;
+    with ``flip`` each scale also runs on the mirrored image.
+    """
+
+    def fn(variables, image_u8):
+        x = P.normalize(image_u8.astype(jnp.float32) / 255.0, mean, std)
+        h, w = x.shape[1], x.shape[2]
+
+        def forward(xi):
+            _, up = model.apply(variables, xi, train=False,
+                                update_stats=False)
+            up = resize_bilinear_align_corners(up, (h, w))
+            return jax.nn.softmax(up, axis=-1)
+
+        acc = None
+        for s in scales:
+            if s == 1.0:
+                xs = x
+            else:
+                sh, sw = int(round(h * s)), int(round(w * s))
+                xs = jax.image.resize(x, (x.shape[0], sh, sw, 3), "linear")
+            p = forward(xs)
+            if flip:
+                p = p + forward(xs[:, :, ::-1, :])[:, :, ::-1, :]
+            acc = p if acc is None else acc + p
+        denom = len(scales) * (2 if flip else 1)
+        return acc / denom
+
+    return fn
+
+
+class ResultWriter:
+    """Async PNG/npz export (reference ResultWriter + mp.Pool,
+    infer_val.py:70-109,160)."""
+
+    def __init__(self, out_dir, save_cs=True, save_raw=False, vis=False,
+                 workers=4):
+        self.out_dir = out_dir
+        self.save_cs = save_cs
+        self.save_raw = save_raw
+        self.vis = vis
+        os.makedirs(out_dir, exist_ok=True)
+        if save_cs:
+            os.makedirs(os.path.join(out_dir, "cs"), exist_ok=True)
+        if save_raw:
+            os.makedirs(os.path.join(out_dir, "raw"), exist_ok=True)
+        if vis:
+            os.makedirs(os.path.join(out_dir, "vis"), exist_ok=True)
+        self._palette = train_palette()
+        self._t2c = trainid_to_cs_table()
+        self._pool = ThreadPoolExecutor(workers)
+        self._futures = []
+
+    def submit(self, probs, image_u8, name):
+        self._futures.append(
+            self._pool.submit(self._write, np.asarray(probs),
+                              np.asarray(image_u8), name))
+
+    def _write(self, probs, image_u8, name):
+        pred = np.argmax(probs, axis=-1).astype(np.uint8)
+        pal_img = Image.fromarray(pred, mode="P")
+        pal_img.putpalette(self._palette)
+        pal_img.save(os.path.join(self.out_dir, name + ".png"))
+        if self.save_cs:
+            cs = self._t2c[pred]
+            Image.fromarray(cs).save(
+                os.path.join(self.out_dir, "cs", name + ".png"))
+        if self.save_raw:
+            np.savez_compressed(
+                os.path.join(self.out_dir, "raw", name + ".npz"),
+                raw=probs.astype(np.float16))
+        if self.vis:
+            overlay = (0.3 * image_u8 + 0.7 * colorize(pred)).astype(np.uint8)
+            Image.fromarray(overlay).save(
+                os.path.join(self.out_dir, "vis", name + ".png"))
+        return name
+
+    def close(self):
+        for f in self._futures:
+            f.result()
+        self._pool.shutdown()
+
+
+def run_inference(model, variables, dataset, out_dir, *, mean, std,
+                  num_classes=19, scales=(1.0,), flip=False, save_cs=True,
+                  save_raw=False, vis=False, workers=4, verbose=True,
+                  progress_every=50):
+    """Full loop: forward every image, export, accumulate the confusion
+    matrix when ground truth is present.  Returns (conf [C,C] or None)."""
+    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip))
+    writer = ResultWriter(out_dir, save_cs=save_cs, save_raw=save_raw,
+                          vis=vis, workers=workers)
+    conf = None
+    have_gt = any(m is not None for m in dataset.masks)
+    for i in range(len(dataset)):
+        img, mask = dataset.load(i)
+        probs = infer_fn(variables, jnp.asarray(img[None]))
+        writer.submit(probs[0], img, dataset.name(i))
+        if have_gt:
+            pred = jnp.argmax(probs[0], -1)
+            c = confusion_matrix(pred, jnp.asarray(mask.astype(np.int32)),
+                                 num_classes)
+            conf = c if conf is None else conf + c
+        if verbose and i % progress_every == 0:
+            print("[{:4d}/{:4d}] {}".format(i + 1, len(dataset),
+                                            dataset.name(i)))
+    writer.close()
+    return None if conf is None else np.asarray(conf)

@@ -55,7 +55,14 @@ class Checkpointer:
             return self._load_torch(path, state_template)
         with open(path, "rb") as f:
             payload = pickle.load(f)
-        state = serialization.from_bytes(state_template, payload["state"])
+        raw = serialization.msgpack_restore(payload["state"])
+        fields = {}
+        for name, stored in raw.items():
+            tmpl = getattr(state_template, name)
+            if name == "opt_state" and _is_empty(tmpl):
+                continue  # inference-time template carries no optimizer
+            fields[name] = serialization.from_state_dict(tmpl, stored)
+        state = state_template.replace(**fields)
         return state, payload.get("epoch", 0), payload.get("score", -1e16)
 
     def _load_torch(self, path, state_template, arch=None):
@@ -100,6 +107,10 @@ class Checkpointer:
         epoch = int(data.get("epoch", 0)) if isinstance(data, dict) else 0
         score = float(data.get("score", -1e16)) if isinstance(data, dict) else -1e16
         return state, epoch, score
+
+
+def _is_empty(tree):
+    return len(jax.tree.leaves(tree)) == 0
 
 
 class BestTracker:

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Inference + export entry point — same CLI as the reference infer_val.py:
+
+    python infer_val.py --cfg configs/deeplabv2_resnet101_train.yaml \
+        --dataloader cityscapes --resume snapshot.ckpt \
+        --infer-list data/val_cityscapes.txt --mask-output-dir out/
+
+Extensions over the reference's single-scale script: ``--set`` keys
+VAL.SCALES / VAL.FLIP are not config keys; use --scales/--flip flags below.
+"""
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from dasac_tpu.core.config import cfg, cfg_from_file, cfg_from_list
+from dasac_tpu.core.opts import add_global_arguments
+from dasac_tpu.core.state import create_train_state
+from dasac_tpu.data.category import get_class_names, get_num_classes
+from dasac_tpu.infer.engine import InferDataset, run_inference
+from dasac_tpu.nn.factory import build_model, compute_dtype
+from dasac_tpu.train.checkpoints import Checkpointer
+from dasac_tpu.train.metrics import summarise
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="dasac_tpu inference")
+    add_global_arguments(parser)
+    parser.add_argument("--scales", type=float, nargs="+", default=[1.0],
+                        help="multi-scale factors (default: single scale)")
+    parser.add_argument("--flip", action="store_true",
+                        help="average with horizontally flipped forward")
+    parser.add_argument("--save-raw", action="store_true")
+    parser.add_argument("--vis", action="store_true")
+    parser.add_argument("--teacher", action="store_true",
+                        help="use the EMA teacher weights")
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+    cfg_from_file(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
+
+    num_classes = get_num_classes()
+    model = build_model(cfg.MODEL.ARCH, num_classes,
+                        dtype=compute_dtype(cfg.TPU))
+    state = create_train_state(model, _NullTx(), num_classes,
+                               (*cfg.DATASET.CROP_SIZE, 3),
+                               rng=jax.random.PRNGKey(args.seed or 0))
+    assert args.resume, "--resume snapshot required"
+    ckpt = Checkpointer(None)
+    ckpt.arch = cfg.MODEL.ARCH
+    state, _, _ = ckpt.load(args.resume, state)
+
+    if args.teacher:
+        variables = {"params": state.teacher_params,
+                     "batch_stats": state.teacher_stats}
+    else:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # infer-list is given as a path like data/val_cityscapes.txt: split name
+    # relative to DATASET.ROOT (reference --infer-list semantics)
+    import os
+
+    split = os.path.splitext(os.path.basename(args.infer_list))[0]
+    root = os.path.dirname(args.infer_list) or cfg.DATASET.ROOT
+    dataset = InferDataset(root, split,
+                           cityscapes_names=(args.dataloader == "cityscapes"))
+
+    assert args.mask_output_dir, "--mask-output-dir required"
+    conf = run_inference(
+        model, variables, dataset, args.mask_output_dir,
+        mean=tuple(cfg.DATASET.MEAN), std=tuple(cfg.DATASET.STD),
+        num_classes=num_classes, scales=tuple(args.scales), flip=args.flip,
+        save_raw=args.save_raw, vis=args.vis, workers=args.workers)
+
+    if conf is not None:
+        iou, pr, re = summarise(conf)
+        keep = [i for i in range(num_classes)
+                if i not in set(cfg.VAL.IGNORE_CLASS)]
+        for name, v in zip(get_class_names(), iou):
+            print("IoU_{}: {:4.3f}".format(name, v))
+        print("mIoU ({} classes): {:4.3f}".format(
+            len(keep), float(np.mean(iou[keep]))))
+
+
+class _NullTx:
+    def init(self, params):
+        return ()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Inference engine + offline tools tests: export bit-compatibility,
+multi-scale/flip averaging, IS-weight computation, trainId conversion."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from dasac_tpu.data.category import trainid_to_cs_table
+from dasac_tpu.data.synth import make_synthetic_root
+from dasac_tpu.infer import engine
+from dasac_tpu.nn.factory import build_model
+from dasac_tpu.tools import compute_is_weights, convert_train_ids
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return make_synthetic_root(str(tmp_path_factory.mktemp("d")),
+                               hw=(40, 56), n_val=3)
+
+
+def _variables(model, hw):
+    x = jnp.zeros((1, *hw, 3))
+    return model.init({"params": jax.random.PRNGKey(0)}, x,
+                      train=False, update_stats=False)
+
+
+def test_run_inference_exports(root, tmp_path):
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    out = str(tmp_path / "masks")
+    conf = engine.run_inference(
+        model, variables, ds, out, mean=(0.485, 0.456, 0.406),
+        std=(0.229, 0.224, 0.225), scales=(1.0,), verbose=False)
+    assert conf is not None and conf.shape == (19, 19)
+
+    for i in range(len(ds)):
+        name = ds.name(i)
+        # trainId export: paletted PNG whose pixel VALUES are trainIds
+        pred = np.asarray(Image.open(os.path.join(out, name + ".png")))
+        assert pred.dtype == np.uint8 and pred.shape == (40, 56)
+        # cs export = LUT of the trainId export
+        cs = np.asarray(Image.open(os.path.join(out, "cs", name + ".png")))
+        np.testing.assert_array_equal(cs, trainid_to_cs_table()[pred])
+
+
+def test_cityscapes_name_mapping(root):
+    ds = engine.InferDataset(root, "val_cityscapes", cityscapes_names=True)
+    assert "_leftImg8bit" not in ds.name(0)
+    # names without the suffix pass through unchanged
+    assert ds.name(0).startswith("val_")
+
+
+def test_multiscale_flip_consistency():
+    """flip-averaging of a left-right symmetric model output is idempotent;
+    multi-scale averaging of constant maps preserves them."""
+    model = build_model("tiny", 7)
+    variables = _variables(model, (32, 32))
+    img = (np.random.RandomState(0).rand(1, 32, 32, 3) * 255).astype(np.uint8)
+
+    f1 = engine.make_infer_fn(model, (0.485, 0.456, 0.406),
+                              (0.229, 0.224, 0.225), scales=(1.0,))
+    f2 = engine.make_infer_fn(model, (0.485, 0.456, 0.406),
+                              (0.229, 0.224, 0.225),
+                              scales=(0.75, 1.0, 1.25), flip=True)
+    p1 = np.asarray(f1(variables, jnp.asarray(img)))
+    p2 = np.asarray(f2(variables, jnp.asarray(img)))
+    assert p1.shape == p2.shape == (1, 32, 32, 7)
+    np.testing.assert_allclose(p1.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(p2.sum(-1), 1.0, atol=1e-5)
+
+    # flip averaging == explicit (forward(x) + unflip(forward(flip(x)))) / 2
+    ff = engine.make_infer_fn(model, (0.485, 0.456, 0.406),
+                              (0.229, 0.224, 0.225), scales=(1.0,), flip=True)
+    pf = np.asarray(ff(variables, jnp.asarray(img)))
+    p_fwd = np.asarray(f1(variables, jnp.asarray(img)))
+    p_flip = np.asarray(f1(variables, jnp.asarray(img[:, :, ::-1, :].copy())))
+    manual = 0.5 * (p_fwd + p_flip[:, :, ::-1, :])
+    np.testing.assert_allclose(pf, manual, atol=1e-5)
+
+
+def test_compute_is_weights(tmp_path):
+    d = tmp_path / "preds"
+    d.mkdir()
+    # image A: 100% class 0; image B: half class 0, half class 1
+    Image.fromarray(np.zeros((10, 10), np.uint8)).save(d / "a.png")
+    b = np.zeros((10, 10), np.uint8)
+    b[5:] = 1
+    Image.fromarray(b).save(d / "b.png")
+    out = str(tmp_path / "w.data")
+    stats = compute_is_weights.count(str(d), out=out, verbose=False)
+    # class 0 pixels: a=100, b=50, total 150
+    assert abs(stats["a.png"][0] - 100 / 150) < 1e-9
+    assert abs(stats["b.png"][0] - 50 / 150) < 1e-9
+    assert abs(stats["b.png"][1] - 1.0) < 1e-9
+    with open(out, "rb") as f:
+        assert pickle.load(f) == stats
+
+
+def test_is_weights_feed_sampler(tmp_path):
+    from dasac_tpu.data import sampler
+
+    d = tmp_path / "preds"
+    d.mkdir()
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(d / "x.png")
+    y = np.full((8, 8), 2, np.uint8)
+    Image.fromarray(y).save(d / "y.png")
+    stats = compute_is_weights.count(str(d), verbose=False)
+    imp = sampler.ImportanceSampler(
+        2, num_classes=3, mask_names=["x.png", "y.png"], weights=stats,
+        prior_weight=0.25)
+    rng = np.random.RandomState(0)
+    draws = [imp.sample(2, rng) for _ in range(500)]  # class 2 -> image y
+    assert np.mean(np.asarray(draws) == 1) > 0.8
+
+
+def test_convert_train_ids(tmp_path):
+    src = tmp_path / "raw" / "sub"
+    src.mkdir(parents=True)
+    raw = np.array([[7, 26], [0, 99]], np.uint8)
+    Image.fromarray(raw).save(src / "m.png")
+    out = tmp_path / "out"
+    n = convert_train_ids.preprocess("gta", str(tmp_path / "raw"), str(out),
+                                     verbose=False)
+    assert n == 1
+    conv = np.asarray(Image.open(out / "sub" / "m.png"))
+    assert conv.tolist() == [[0, 13], [255, 255]]
