@@ -95,10 +95,75 @@ def grid_sample(img, grid, mode="bilinear"):
 
 
 def warp_affine(img, theta, out_hw=None, mode="bilinear"):
-    """grid_sample(img, affine_grid(theta)) in one call.
+    """grid_sample(img, affine_grid(theta)) for AXIS-ALIGNED affines.
 
-    ``img`` [N,H,W,C], ``theta`` [N,2,3].
+    Every transform in the SAC pipeline is a flip/scale/translate (alpha=0
+    throughout, dataloader_target.py:226), i.e. ``theta`` has zero off-
+    diagonals, so the 2-D warp factorizes into two 1-D resamplings: a row
+    gather (whole [W,C] rows — contiguous DMA) and a column gather ([C]
+    vectors).  On TPU this replaces H*W random point-gathers with H + W
+    vectorized ones — the difference between VPU-speed and scalar-speed.
+
+    ``img`` [N,H,W,C], ``theta`` [N,2,3] with theta[:,0,1]=theta[:,1,0]=0.
+    Zero padding, bilinear or nearest; numerically identical to
+    grid_sample(affine_grid(theta)) for such thetas.
     """
+    if out_hw is None:
+        out_hw = (img.shape[1], img.shape[2])
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    n, h, w, c = img.shape
+
+    # per-axis normalized maps: xin = a*xout + b
+    ax, bx = theta[:, 0, 0], theta[:, 0, 2]
+    ay, by = theta[:, 1, 1], theta[:, 1, 2]
+    xs = (2.0 * jnp.arange(ow, dtype=jnp.float32) + 1.0) / ow - 1.0
+    ys = (2.0 * jnp.arange(oh, dtype=jnp.float32) + 1.0) / oh - 1.0
+    src_x = _unnormalize(ax[:, None] * xs[None] + bx[:, None], w)  # [N,Wo]
+    src_y = _unnormalize(ay[:, None] * ys[None] + by[:, None], h)  # [N,Ho]
+
+    def axis_gather(data, src, axis, size):
+        """1-D resample of ``data`` along ``axis`` at positions ``src``."""
+        if mode == "nearest":
+            i = jnp.floor(src + 0.5).astype(jnp.int32)
+            valid = (i >= 0) & (i < size)
+            ic = jnp.clip(i, 0, size - 1)
+            out = _take_axis(data, ic, axis)
+            return out * _expand(valid, data.ndim, axis).astype(data.dtype)
+        i0 = jnp.floor(src)
+        frac = (src - i0).astype(jnp.float32)
+        i0 = i0.astype(jnp.int32)
+        v0 = (i0 >= 0) & (i0 < size)
+        v1 = (i0 + 1 >= 0) & (i0 + 1 < size)
+        g0 = _take_axis(data, jnp.clip(i0, 0, size - 1), axis)
+        g1 = _take_axis(data, jnp.clip(i0 + 1, 0, size - 1), axis)
+        w0 = ((1.0 - frac) * v0).astype(jnp.float32)
+        w1 = (frac * v1).astype(jnp.float32)
+        out = (g0.astype(jnp.float32) * _expand(w0, data.ndim, axis)
+               + g1.astype(jnp.float32) * _expand(w1, data.ndim, axis))
+        return out.astype(data.dtype)
+
+    out = axis_gather(img, src_y, 1, h)       # rows:   [N,Ho,W,C]
+    out = axis_gather(out, src_x, 2, w)       # cols:   [N,Ho,Wo,C]
+    return out
+
+
+def _take_axis(data, idx, axis):
+    """take_along_axis with a per-batch 1-D index [N, K] along ``axis``."""
+    shape = [data.shape[0]] + [1] * (data.ndim - 1)
+    shape[axis] = idx.shape[1]
+    return jnp.take_along_axis(data, idx.reshape(shape), axis=axis)
+
+
+def _expand(arr, ndim, axis):
+    """[N, K] -> broadcastable against data with K on ``axis``."""
+    shape = [arr.shape[0]] + [1] * (ndim - 1)
+    shape[axis] = arr.shape[1]
+    return arr.reshape(shape)
+
+
+def warp_affine_general(img, theta, out_hw=None, mode="bilinear"):
+    """Full 2-D grid_sample path for arbitrary affines (rotation support);
+    kept for generality/tests — the pipeline uses the separable fast path."""
     if out_hw is None:
         out_hw = (img.shape[1], img.shape[2])
     grid = affine_grid(theta, out_hw[0], out_hw[1])

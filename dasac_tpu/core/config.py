@@ -118,8 +118,10 @@ __C.TPU.MESH_DEVICES = 0
 # compute dtype for conv/matmul activations ("bfloat16" or "float32");
 # parameters and BN statistics are always float32
 __C.TPU.COMPUTE_DTYPE = "bfloat16"
-# remat (activation checkpointing) granularity: "none" | "stage"
-__C.TPU.REMAT = "none"
+# remat (activation checkpointing): "block" checkpoints residual blocks /
+# VGG stage chunks so full-resolution batches fit in one chip's HBM; "none"
+# keeps all activations (gradients are identical either way)
+__C.TPU.REMAT = "block"
 # host data pipeline: number of decode threads and prefetch depth
 __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2

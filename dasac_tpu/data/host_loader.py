@@ -22,6 +22,17 @@ from dasac_tpu.data.category import IGNORE_LABEL
 
 def _load_pair(img_path, mask_path, out_hw, mode):
     """Decode one (image, mask) pair to uint8 arrays sized ``out_hw``."""
+    if (mode == "resize" and out_hw is not None
+            and img_path.endswith(".png")
+            and (mask_path is None or mask_path.endswith(".png"))):
+        from dasac_tpu.data import native
+
+        res = native.decode_pair(img_path, mask_path, out_hw,
+                                 mask_fill=IGNORE_LABEL)
+        if res is not None:
+            return res
+        # fall through to PIL for formats the native decoder rejects
+
     img = Image.open(img_path).convert("RGB")
     if mask_path is None:
         mask = Image.new("L", img.size, IGNORE_LABEL)

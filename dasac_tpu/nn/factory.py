@@ -22,10 +22,11 @@ ARCHS = {
 
 
 def build_model(arch: str, num_classes: int, dtype=jnp.float32,
-                axis_name: Optional[str] = None):
+                axis_name: Optional[str] = None, remat: bool = False):
     key = arch.lower()
     assert key in ARCHS, "Unknown arch: {} (have {})".format(arch, sorted(ARCHS))
-    return ARCHS[key](num_classes=num_classes, dtype=dtype, axis_name=axis_name)
+    return ARCHS[key](num_classes=num_classes, dtype=dtype,
+                      axis_name=axis_name, remat=remat)
 
 
 def compute_dtype(cfg_tpu):

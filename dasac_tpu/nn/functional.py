@@ -94,9 +94,11 @@ def max_pool_ceil(x, window=3, stride=2, padding=1):
     need_w = (ow - 1) * stride + window
     pad_h_hi = need_h - h - padding
     pad_w_hi = need_w - w - padding
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    # NOTE: init value must be a Python scalar literal so lax dispatches to
+    # the reduce_window_max primitive (differentiable / remat-compatible);
+    # a traced array falls back to the generic reduce_window.
+    neg = float("-inf") if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     xp = jnp.pad(
         x,
         ((0, 0), (padding, pad_h_hi), (padding, pad_w_hi), (0, 0)),
@@ -114,10 +116,9 @@ def max_pool_ceil(x, window=3, stride=2, padding=1):
 
 def max_pool(x, window=2, stride=2):
     """Plain VALID max pool (VGG-style, floor mode)."""
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
     return jax.lax.reduce_window(
         x,
-        neg,
+        float("-inf"),  # literal: keeps the differentiable max primitive
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

@@ -84,20 +84,36 @@ class ASPP(nn.Module):
 
 
 class ResNet101Backbone(nn.Module):
-    """Dilated ResNet-101 trunk, output stride 8, 2048 channels."""
+    """Dilated ResNet-101 trunk, output stride 8, 2048 channels.
+
+    ``remat`` checkpoints each bottleneck (jax.checkpoint): only block
+    inputs stay live through the backward pass, trading ~1 extra forward
+    for the activation memory that lets the full 512x1024 batch fit in one
+    chip's HBM.
+    """
 
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     layers: tuple = (3, 4, 23, 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, update_stats: bool):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=conv_init_normal(), name="conv1")(x)
-        x = nn.relu(SyncBatchNorm(64, axis_name=self.axis_name, dtype=self.dtype,
-                                  name="bn1")(x, not update_stats))
-        x = max_pool_ceil(x, window=3, stride=2, padding=1)
+        def stem(mdl, xx):
+            xx = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                         dtype=mdl.dtype, param_dtype=jnp.float32,
+                         kernel_init=conv_init_normal(), name="conv1")(xx)
+            xx = nn.relu(SyncBatchNorm(64, axis_name=mdl.axis_name,
+                                       dtype=mdl.dtype,
+                                       name="bn1")(xx, not update_stats))
+            return max_pool_ceil(xx, window=3, stride=2, padding=1)
+
+        if self.remat:
+            # the stem's full-resolution activations (~1GB per branch at
+            # 512x1024 batch 8) are cheap to recompute
+            x = nn.remat(stem)(self, x)
+        else:
+            x = stem(self, x)
 
         specs = [
             # (planes, stride, dilation)
@@ -106,6 +122,9 @@ class ResNet101Backbone(nn.Module):
             (256, 1, 2),
             (512, 1, 4),
         ]
+        block_cls = Bottleneck
+        if self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
         in_planes = 64
         for li, ((planes, stride, dilation), n_blocks) in enumerate(
             zip(specs, self.layers), start=1
@@ -117,7 +136,7 @@ class ResNet101Backbone(nn.Module):
                 has_down = first and (
                     stride != 1 or in_planes != planes * 4 or dilation in (2, 4)
                 )
-                x = Bottleneck(
+                x = block_cls(
                     planes,
                     stride=stride if first else 1,
                     dilation=dilation,
@@ -137,11 +156,13 @@ class DeepLabV2ResNet101(nn.Module):
     num_classes: int = 19
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         h, w = x.shape[-3], x.shape[-2]
         feats = ResNet101Backbone(dtype=self.dtype, axis_name=self.axis_name,
+                                  remat=self.remat,
                                   name="backbone")(x.astype(self.dtype), update_stats)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(feats)
         logits = logits.astype(jnp.float32)

@@ -45,20 +45,20 @@ _VGG16_BN_LAYOUT: Tuple = (
 )
 
 
-class VGGStage(nn.Module):
-    """A contiguous run of torchvision vgg16_bn feature indices."""
+class _VGGRange(nn.Module):
+    """One contiguous run [lo, hi) of vgg16_bn feature indices."""
 
-    start: int
-    stop: int  # exclusive torch index bound
+    lo: int
+    hi: int
     skip_pools: Sequence[int] = ()
-    dilate: Sequence[int] = ()  # conv indices that get dilation 2
+    dilate: Sequence[int] = ()
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, update_stats: bool):
         for idx, kind, ch in _VGG16_BN_LAYOUT:
-            if not (self.start <= idx < self.stop):
+            if not (self.lo <= idx < self.hi):
                 continue
             if kind == "pool":
                 if idx in self.skip_pools:
@@ -79,18 +79,62 @@ class VGGStage(nn.Module):
         return x
 
 
+_VGGRangeRemat = nn.remat(_VGGRange, static_argnums=(2,))
+
+
+class VGGStage(nn.Module):
+    """A run of vgg16_bn feature indices, optionally split into
+    ``remat_chunks`` that are individually checkpointed (jax.checkpoint).
+
+    The chunk submodules share this stage's scope (nn.share_scope), so the
+    parameter paths (``features_<idx>``) are identical with and without
+    remat — the torch converter's name map depends on that.
+    """
+
+    start: int
+    stop: int  # exclusive torch index bound
+    skip_pools: Sequence[int] = ()
+    dilate: Sequence[int] = ()  # conv indices that get dilation 2
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+    remat_chunks: Sequence[Tuple[int, int]] = ()
+
+    def setup(self):
+        chunks = tuple(self.remat_chunks) or ((self.start, self.stop),)
+        cls = _VGGRangeRemat if self.remat_chunks else _VGGRange
+        self.ranges = [
+            cls(lo, hi, self.skip_pools, self.dilate, self.dtype,
+                self.axis_name)
+            for lo, hi in chunks
+        ]
+        for r in self.ranges:
+            nn.share_scope(self, r)
+
+    def __call__(self, x, update_stats: bool):
+        for r in self.ranges:
+            x = r(x, update_stats)
+        return x
+
+
 class DeepLabV2VGG16(nn.Module):
-    """DeepLabv2 / VGG-16-BN, output stride 8, (logits, logits_up)."""
+    """DeepLabv2 / VGG-16-BN, output stride 8, (logits, logits_up).
+
+    With ``remat`` the feature trunk is checkpointed in four chunks at the
+    pool boundaries (full-res VGG activations dominate HBM otherwise).
+    """
 
     num_classes: int = 19
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         h, w = x.shape[-3], x.shape[-2]
+        chunks = ((0, 7), (7, 14), (14, 24), (24, 44)) if self.remat else ()
         feats = VGGStage(0, 44, skip_pools=(33, 43), dilate=(34, 37, 40),
                          dtype=self.dtype, axis_name=self.axis_name,
+                         remat_chunks=chunks,
                          name="features")(x.astype(self.dtype), update_stats)
         conv_kw = dict(use_bias=True, dtype=self.dtype, param_dtype=jnp.float32)
         feats = nn.relu(nn.Conv(1024, (3, 3), kernel_dilation=4, padding=4,
@@ -110,15 +154,22 @@ class VGG16FCN8s(nn.Module):
     drop_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         h, w = x.shape[-3], x.shape[-2]
         xd = x.astype(self.dtype)
         stage_kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        pool3 = VGGStage(0, 24, name="block1", **stage_kw)(xd, update_stats)      # 1/8
-        pool4 = VGGStage(24, 34, name="block2", **stage_kw)(pool3, update_stats)  # 1/16
-        pool5 = VGGStage(34, 44, name="block3", **stage_kw)(pool4, update_stats)  # 1/32
+        c1 = ((0, 7), (7, 14), (14, 24)) if self.remat else ()
+        c2 = ((24, 34),) if self.remat else ()
+        c3 = ((34, 44),) if self.remat else ()
+        pool3 = VGGStage(0, 24, remat_chunks=c1, name="block1",
+                         **stage_kw)(xd, update_stats)      # 1/8
+        pool4 = VGGStage(24, 34, remat_chunks=c2, name="block2",
+                         **stage_kw)(pool3, update_stats)   # 1/16
+        pool5 = VGGStage(34, 44, remat_chunks=c3, name="block3",
+                         **stage_kw)(pool4, update_stats)   # 1/32
 
         conv_kw = dict(use_bias=True, dtype=self.dtype, param_dtype=jnp.float32)
         # bottleneck head at 1/32 (reference fcn.py:47-58)

@@ -78,9 +78,8 @@ def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
         thresholds = thresholds * threshold_discount(running_conf, threshold_beta)[None]
     thresholds = jnp.maximum(thresholds, lower)  # [B, C]
 
-    tau = jnp.take_along_axis(
-        thresholds[:, None, None, :], max_idx[..., None], axis=-1
-    )[..., 0]
+    # one-hot contraction instead of per-pixel gather (VPU-friendly on TPU)
+    tau = jnp.einsum("bhwc,bc->bhw", onehot, thresholds)
     keep = (max_conf > tau) & (~ignore_augm)
     labels = jnp.where(keep, max_idx, IGNORE)
     return labels, max_conf, max_idx
@@ -94,20 +93,23 @@ def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
 def _nll(logits, labels):
     """Per-pixel negative log-likelihood with ignore masking.
 
-    Returns (nll [B,H,W] zeroed at ignore, valid mask [B,H,W]).
+    Uses a one-hot contraction instead of per-pixel gathers (point gathers
+    run at scalar speed on TPU; the one-hot multiply-reduce stays on the
+    VPU).  Returns (nll [B,H,W] zeroed at ignore, valid mask [B,H,W]).
     """
     c = logits.shape[-1]
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, -picked, 0.0), valid
+    onehot = jax.nn.one_hot(safe, c, dtype=jnp.float32)
+    picked = jnp.sum(logp * onehot, axis=-1)
+    return jnp.where(valid, -picked, 0.0), valid, onehot
 
 
 def cross_entropy_mean(logits, labels):
     """Reference source loss: sum of valid per-pixel CE divided by the TOTAL
     pixel count (torch ignore_index zeros + .mean(), train.py:133)."""
-    nll, _ = _nll(logits, labels)
+    nll, _, _ = _nll(logits, labels)
     return jnp.mean(nll)
 
 
@@ -122,22 +124,19 @@ def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
     """
     c = logits.shape[-1]
     focal_w = (1.0 - jnp.clip(running_conf, 0.0, None)) ** p  # [C]
-    nll, valid = _nll(logits, pseudo_gt)
+    nll, valid, onehot = _nll(logits, pseudo_gt)
     safe = jnp.where(valid, pseudo_gt, 0).astype(jnp.int32)
-    w = jnp.take(focal_w, safe) * valid.astype(jnp.float32)
+    # one-hot contraction (no per-pixel gather)
+    w = jnp.einsum("...c,c->...", onehot, focal_w) * valid.astype(jnp.float32)
     ce = nll * w
     if use_conf:
         loss = jnp.mean(ce * teacher_conf.astype(jnp.float32))
     else:
         loss = jnp.mean(ce)
 
-    # diagnostic: per-class mean of ce over all pixels & batch
-    total = ce.size
-    flat_ce = ce.reshape(-1)
-    flat_lbl = safe.reshape(-1)
-    per_class = jax.ops.segment_sum(
-        flat_ce, flat_lbl, num_segments=c
-    ) / total
+    # diagnostic: per-class mean of ce over all pixels & batch (one-hot
+    # contraction — no scatter)
+    per_class = jnp.einsum("...c,...->c", onehot, ce) / ce.size
     return loss, jax.lax.stop_gradient(per_class)
 
 

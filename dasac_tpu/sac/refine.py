@@ -12,7 +12,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from dasac_tpu.aug.warp import affine_grid, grid_sample
+from dasac_tpu.aug.warp import warp_affine
 from dasac_tpu.nn.functional import resize_bilinear_align_corners
 from dasac_tpu.sac.core import entropy
 
@@ -92,11 +92,9 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     if not pool_on:
         return probs, diags
 
-    grid_fwd = affine_grid(affine, h, w)
-    grid_inv = affine_grid(affine_inv, h, w)
-
-    aligned = grid_sample(probs, grid_fwd)                        # [B,H,W,C]
-    valid_aligned = grid_sample(jnp.ones((b, h, w, 1), probs.dtype), grid_inv)
+    aligned = warp_affine(probs, affine)                          # [B,H,W,C]
+    valid_aligned = warp_affine(
+        jnp.ones((b, h, w, 1), probs.dtype), affine_inv)
     masked = aligned * valid_aligned
 
     t = group_size
@@ -105,8 +103,8 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     pooled = pooled.reshape(b, h, w, c)
     valid = valid.reshape(b, h, w, 1)
 
-    refined = grid_sample(pooled, grid_inv)
-    refined_valid = grid_sample(valid, grid_inv)
+    refined = warp_affine(pooled, affine_inv)
+    refined_valid = warp_affine(valid, affine_inv)
     refined = refined * refined_valid
 
     diags["teacher_aligned"] = aligned

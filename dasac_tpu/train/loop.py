@@ -21,6 +21,7 @@ from dasac_tpu.train.checkpoints import BestTracker, Checkpointer
 from dasac_tpu.train.metrics import StatManager, summarise
 from dasac_tpu.utils.logging import ScalarWriter
 from dasac_tpu.utils.timer import Timer
+from dasac_tpu.utils import visualise
 
 
 class Trainer:
@@ -49,7 +50,8 @@ class Trainer:
         dtype = compute_dtype(cfg.TPU)
         self.arch = cfg.MODEL.ARCH
         self.model = build_model(self.arch, self.nclass, dtype=dtype,
-                                 axis_name=axis)
+                                 axis_name=axis,
+                                 remat=(cfg.TPU.REMAT != "none"))
 
         # state + optimizer
         sample_hw = tuple(cfg.DATASET.CROP_SIZE)
@@ -114,6 +116,8 @@ class Trainer:
             steps_lib.make_eval_step(self.model, self.scfg, teacher=True))
         self.target_eval_step = jax.jit(
             steps_lib.make_target_eval_step(self.model, self.scfg))
+        self.visual_step = jax.jit(
+            steps_lib.make_visual_step(self.model, self.scfg))
 
         # writers
         logdir = getattr(args, "logdir", None) or "./logs"
@@ -124,6 +128,7 @@ class Trainer:
             for vs in self.loaders.val
         }
         self.rng = jax.random.PRNGKey(self.seed)
+        self.fixed = visualise.FixedBatch()
 
     # ------------------------------------------------------------------ train
 
@@ -197,17 +202,39 @@ class Trainer:
         for bi, (imgs, lbls) in enumerate(tgt_loader):
             if max_batches and bi >= max_batches:
                 break
+            if bi == 0:
+                self.fixed.save("train_target", (imgs, lbls))
             c = self.target_eval_step(
                 self.state, jnp.asarray(imgs),
                 jnp.asarray(lbls.astype(np.int32)),
                 jax.random.fold_in(epoch_key, bi))
             confs = c if confs is None else jax.tree.map(
                 lambda a, b: a + b, confs, c)
+        self._visualise_target(epoch)
         best = 0.0
         for layer, conf in confs.items():
             best = max(best, self._publish(
                 self.writer_target, layer, np.asarray(conf), epoch, ignore))
         return best
+
+    def _visualise_target(self, epoch):
+        """Fixed-batch diagnostic panel + per-class running_conf scalars
+        (reference base_trainer.py:118-198)."""
+        batch = self.fixed.get("train_target")
+        if batch is None:
+            return
+        imgs, lbls = batch
+        views, refined, pseudo, student_up = self.visual_step(
+            self.state, jnp.asarray(imgs), jnp.asarray(lbls.astype(np.int32)),
+            jax.random.fold_in(self.rng, 777))
+        panel = visualise.target_panel(
+            views, refined, pseudo, student_up,
+            self.scfg.mean, self.scfg.std)
+        self.writer_target.add_image("train_target/panel", panel, epoch)
+        rc = np.asarray(self.state.running_conf)
+        for ni, cname in enumerate(self.class_names):
+            self.writer_target.add_scalar(
+                "running_conf/{:02d}_{}".format(ni, cname), rc[ni], epoch)
 
     def _publish(self, writer, layer, conf, epoch, ignore):
         iou, pr, re = summarise(conf)

@@ -126,6 +126,17 @@ def _pmean(tree, axis_name):
     return jax.lax.pmean(tree, axis_name)
 
 
+def _barrier_like(tree, token):
+    """Data-dependence barrier: make every leaf of ``tree`` depend on the
+    scalar ``token`` so XLA cannot hoist downstream work above it."""
+    def tie(x):
+        t, xo = jax.lax.optimization_barrier((token, x))
+        del t
+        return xo
+
+    return jax.tree.map(tie, tree)
+
+
 # ---------------------------------------------------------------------------
 # SAC adaptation step
 # ---------------------------------------------------------------------------
@@ -185,24 +196,42 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
         pseudo = jax.lax.stop_gradient(pseudo)
         conf = jax.lax.stop_gradient(conf)
 
-        # ---- fused source + target loss -----------------------------------
-        def loss_fn(params):
+        # ---- source + target gradients (summed) ---------------------------
+        # Two sequential value_and_grads instead of one fused loss: the
+        # reference also runs two backwards before one optimizer step
+        # (train.py:130-233); mathematically identical, and sequencing keeps
+        # only ONE branch's activations live at a time (HBM peak halves —
+        # the fused version OOMs the full 512x1024 batch on a 16G chip).
+
+        def src_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, src_up = model.apply(variables, src_frames,
                                     train=False, update_stats=False)
-            ce_src = sac_core.cross_entropy_mean(src_up, src_lbls)
+            return sac_core.cross_entropy_mean(src_up, src_lbls)
+
+        def tgt_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
             _, tgt_up = model.apply(variables, views.frames_aug,
                                     train=False, update_stats=False)
             self_ce, per_class = sac_core.focal_ce(
                 tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
                 use_conf=scfg.use_conf_loss)
-            total = scfg.lr_target * self_ce
-            if not scfg.target_only:
-                total = total + ce_src
-            return total, (ce_src, self_ce, per_class)
+            return scfg.lr_target * self_ce, (self_ce, per_class)
 
-        grads, (ce_src, self_ce, per_class) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        if scfg.target_only:
+            ce_src = jnp.float32(0.0)
+            (_, (self_ce, per_class)), grads = jax.value_and_grad(
+                tgt_loss, has_aux=True)(state.params)
+        else:
+            ce_src, grads_src = jax.value_and_grad(src_loss)(state.params)
+            # barrier: the target branch must not be scheduled before the
+            # source BACKWARD completes (ties params to the src grads), so
+            # only one branch's activations are ever live
+            grads_src, params_seq = jax.lax.optimization_barrier(
+                (grads_src, state.params))
+            (_, (self_ce, per_class)), grads_tgt = jax.value_and_grad(
+                tgt_loss, has_aux=True)(params_seq)
+            grads = jax.tree.map(jnp.add, grads_src, grads_tgt)
         grads = _pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -363,6 +392,37 @@ def make_target_eval_step(model, scfg: StepConfig,
         if axis_name is not None:
             confs = jax.lax.psum(confs, axis_name)
         return confs
+
+    return step
+
+
+def make_visual_step(model, scfg: StepConfig):
+    """Full target-branch outputs for visualisation panels (the reference's
+    TB diagnostics, base_trainer.py:118-191): returns (views, refined_probs,
+    pseudo_labels, student_logits_up)."""
+
+    def step(state, tgt_images, tgt_labels, rng):
+        views = pipelines.augment_target_groups(
+            rng, tgt_images, tgt_labels, group_size=scfg.group_size,
+            target_scale=scfg.target_scale, zoom=scfg.zoom,
+            group_hflip=scfg.group_hflip, guided_hflip=scfg.guided_hflip,
+            blur=scfg.tgt_blur, jitter=scfg.tgt_jitter,
+            greyscale=scfg.tgt_greyscale, mean=scfg.mean, std=scfg.std)
+        t_logits, _ = model.apply(
+            {"params": state.teacher_params,
+             "batch_stats": state.teacher_stats},
+            views.frames_clean, train=False, update_stats=False)
+        refined, _ = sac_refine.refine(
+            t_logits, views.affine, views.affine_inv, views.padding,
+            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
+        pseudo, _, _ = sac_core.pseudo_labels(
+            refined, views.padding, state.running_conf,
+            upper=scfg.run_conf_upper, lower=scfg.run_conf_lower,
+            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount)
+        _, student_up = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            views.frames_aug, train=False, update_stats=False)
+        return views, refined, pseudo, student_up
 
     return step
 

@@ -1,0 +1,84 @@
+"""Native C++ decoder tests: PNG roundtrip, PIL resize parity, error paths,
+and host_loader integration."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dasac_tpu.data import host_loader, native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+
+@pytest.fixture()
+def pngs(tmp_path):
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+    mask = rng.randint(0, 19, (40, 56)).astype(np.uint8)
+    ip = str(tmp_path / "img.png")
+    mp = str(tmp_path / "mask.png")
+    Image.fromarray(img).save(ip)
+    Image.fromarray(mask).save(mp)
+    return ip, mp, img, mask
+
+
+def test_exact_roundtrip(pngs):
+    ip, mp, img, mask = pngs
+    ni, nm = native.decode_pair(ip, mp, (40, 56))
+    np.testing.assert_array_equal(ni, img)
+    np.testing.assert_array_equal(nm, mask)
+
+
+def test_resize_close_to_pil(pngs):
+    ip, mp, img, mask = pngs
+    ni, nm = native.decode_pair(ip, mp, (20, 28))
+    pi = np.asarray(Image.fromarray(img).resize((28, 20), Image.BILINEAR))
+    assert np.abs(ni.astype(int) - pi.astype(int)).mean() < 1.5
+    pm = np.asarray(Image.fromarray(mask).resize((28, 20), Image.NEAREST))
+    np.testing.assert_array_equal(nm, pm)
+
+
+def test_missing_mask_fills_ignore(pngs):
+    ip, _, _, _ = pngs
+    _, nm = native.decode_pair(ip, None, (40, 56))
+    assert (nm == 255).all()
+
+
+def test_batch_with_failure(pngs, tmp_path):
+    ip, mp, _, _ = pngs
+    imgs, masks, status = native.decode_batch(
+        [ip, str(tmp_path / "missing.png")], [mp, None], (40, 56), threads=2)
+    assert status.tolist() == [0, -1]
+    assert imgs.shape == (2, 40, 56, 3)
+
+
+def test_png_info(pngs):
+    ip, _, _, _ = pngs
+    assert native.png_info(ip) == (40, 56)
+
+
+def test_host_loader_uses_native(pngs):
+    ip, mp, img, mask = pngs
+    ds = host_loader.SegDataset([ip], [mp], (40, 56), mode="resize")
+    ni, nm = ds.load(0)
+    np.testing.assert_array_equal(ni, img)
+    np.testing.assert_array_equal(nm, mask)
+
+
+def test_palette_png_mask(tmp_path):
+    """Paletted label PNGs (our inference export format) decode to indices."""
+    from dasac_tpu.data.category import train_palette
+
+    mask = np.random.RandomState(1).randint(0, 19, (16, 16)).astype(np.uint8)
+    p = Image.fromarray(mask, mode="P")
+    p.putpalette(train_palette())
+    fp = str(tmp_path / "pal.png")
+    p.save(fp)
+    img = (np.zeros((16, 16, 3))).astype(np.uint8)
+    ip = str(tmp_path / "img.png")
+    Image.fromarray(img).save(ip)
+    _, nm = native.decode_pair(ip, fp, (16, 16))
+    np.testing.assert_array_equal(nm, mask)
