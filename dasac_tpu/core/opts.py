@@ -35,6 +35,8 @@ def add_global_arguments(parser):
     parser.add_argument("--rank", default=0, type=int)
     parser.add_argument("--multiprocessing-distributed", action="store_true")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace into the logdir")
     parser.add_argument("--cfg", dest="cfg_file", required=True,
                         help="Config file for training (and optionally testing)")
     parser.add_argument("--set", dest="set_cfgs", default=[], nargs="+",

@@ -48,6 +48,25 @@ class Checkpointer:
         self.kept = self.kept[n_rm:]
         return fn
 
+    def save_latest(self, state, score, epoch):
+        """Rolling preemption-safe snapshot (atomic rename) — the reference
+        has no fault tolerance beyond manual --resume (SURVEY.md §5)."""
+        fn = os.path.join(self.path, "last.ckpt")
+        tmp = fn + ".tmp"
+        payload = {
+            "state": serialization.to_bytes(state),
+            "score": float(score),
+            "epoch": int(epoch),
+        }
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, fn)
+        return fn
+
+    def latest_path(self):
+        fn = os.path.join(self.path, "last.ckpt")
+        return fn if os.path.isfile(fn) else None
+
     def load(self, path, state_template):
         """Returns (state, epoch, score).  ``path`` may be a .ckpt of ours or
         a reference .pth snapshot."""

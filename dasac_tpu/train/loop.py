@@ -91,6 +91,11 @@ class Trainer:
         self.checkpointer.arch = self.arch
         self.start_epoch, best = 0, -1e16
         resume = getattr(args, "resume", None)
+        if resume == "auto":
+            # preemption recovery: continue from the rolling snapshot
+            resume = self.checkpointer.latest_path()
+            if resume is None:
+                print("No last.ckpt found; starting fresh")
         if resume:
             state, self.start_epoch, best = self.checkpointer.load(
                 resume, state)
@@ -277,6 +282,10 @@ class Trainer:
                     if saved:
                         print("New best snapshot: {}".format(saved))
             self.train_epoch(epoch)
+            if snapshot:
+                # rolling preemption-safe snapshot after every epoch
+                self.checkpointer.save_latest(self.state, self.best.best,
+                                              epoch + 1)
         return self.state
 
 

@@ -1,0 +1,97 @@
+"""Composed numeric parity: our refine() pipeline (upsample -> softmax ->
+mask -> separable warp -> pool -> unwarp) against a literal torch
+transcription of the reference's _refine/_avg_pool (models/sac.py:238-313)
+on identical inputs — validates the whole chain including the separable
+warp fast path and the align_corners mixture."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dasac_tpu.aug import affine as A
+from dasac_tpu.sac.refine import refine
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+
+def _torch_refine(logits_bchw, T, aff, aff_inv, ignore_mask, h, w,
+                  tolerance=0.1):
+    """Oracle transcription of sac.py:271-313 (_refine with _avg_pool)."""
+    logits = torch.from_numpy(logits_bchw)
+    pred = TF.interpolate(logits, (h, w), mode="bilinear", align_corners=True)
+    probs = TF.softmax(pred, 1)
+    probs = probs * (1 - torch.from_numpy(ignore_mask)[:, None].float())
+
+    aff_t = torch.from_numpy(aff)
+    inv_t = torch.from_numpy(aff_inv)
+    grid = TF.affine_grid(aff_t, probs.size(), align_corners=False)
+    aligned = TF.grid_sample(probs, grid, align_corners=False)
+
+    ones = torch.ones_like(aligned)
+    grid_inv = TF.affine_grid(inv_t, ones.size(), align_corners=False)
+    valid_aligned = TF.grid_sample(ones, grid_inv, align_corners=False)
+
+    masked = aligned * valid_aligned
+    B, C, H, W = masked.shape
+    probs_T = masked.view(-1, T, C, H, W)
+    total = probs_T.sum(1, keepdim=True)
+    mass = total.sum(2, keepdim=True)
+    mask = (mass > tolerance).float()
+    avg = total / mass.clamp(1e-3)
+    avg = avg.expand(-1, T, -1, -1, -1).reshape(B, C, H, W)
+    mask = mask.expand(-1, T, -1, -1, -1).reshape(B, 1, H, W)
+
+    refined = TF.grid_sample(avg, grid_inv, align_corners=False)
+    refined_valid = TF.grid_sample(mask, grid_inv, align_corners=False)
+    return (refined * refined_valid).numpy()
+
+
+def test_refine_matches_torch_oracle():
+    rng = np.random.RandomState(0)
+    G, T, C = 2, 3, 6
+    h, w = 48, 64
+    B = G * T
+    logits = rng.randn(B, h // 8, w // 8, C).astype(np.float32) * 2
+
+    params = np.stack([
+        rng.uniform(-8, 8, B), rng.uniform(-10, 10, B), np.zeros(B),
+        1.0 / rng.uniform(0.6, 1.2, B), rng.choice([-1.0, 1.0], B),
+    ], 1).astype(np.float32)
+    params[::T] = [0, 0, 0, 1, 1]
+    aff = np.asarray(A.build_affine(params, (h, w)))
+    inv = np.asarray(A.build_affine_inv(jnp.asarray(aff), params, (h, w)))
+    ignore = (rng.rand(B, h, w) < 0.1)
+
+    ours, _ = refine(jnp.asarray(logits), jnp.asarray(aff), jnp.asarray(inv),
+                     jnp.asarray(ignore), group_size=T)
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+
+    ref = _torch_refine(
+        np.transpose(logits, (0, 3, 1, 2)).copy(), T, aff, inv,
+        ignore.astype(np.float32), h, w)
+
+    # identical up to bilinear boundary rounding
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 2e-4, diff.mean()
+    assert np.quantile(diff, 0.999) < 5e-3
+
+
+def test_refine_minentropy_matches_selection():
+    """min-entropy pool: identical affines, one sharp + one flat view —
+    refined equals the sharp view's probs for both."""
+    rng = np.random.RandomState(1)
+    h, w, C = 16, 16, 4
+    sharp = np.full((h // 8, w // 8, C), -5.0, np.float32)
+    sharp[..., 1] = 5.0
+    flat = np.zeros((h // 8, w // 8, C), np.float32)
+    logits = np.stack([flat, sharp])
+    ident = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (2, 1, 1))
+    ignore = np.zeros((2, h, w), bool)
+    refined, _ = refine(jnp.asarray(logits), jnp.asarray(ident),
+                        jnp.asarray(ident), jnp.asarray(ignore),
+                        group_size=2, pool="minentropy_pool")
+    r = np.asarray(refined)
+    assert (np.argmax(r, -1) == 1).all()
+    assert r[..., 1].min() > 0.9

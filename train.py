@@ -30,8 +30,24 @@ def main(argv=None):
         random.seed(args.seed)
         np.random.seed(args.seed)
 
+    if args.profile:
+        try:
+            import jax
+
+            jax.profiler.start_trace(args.logdir)
+            print("Profiler trace -> {}".format(args.logdir))
+        except Exception as e:  # axon tunnel may not support device tracing
+            print("Profiler unavailable: {}".format(e))
+            args.profile = False
+
     trainer = Trainer(args, cfg, seed=args.seed or 0)
-    trainer.fit()
+    try:
+        trainer.fit()
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":
