@@ -18,6 +18,7 @@ estimate its 4x Titan-X (Pascal, ~11 fp32 TFLOP/s each) adaptation run at
 utilization; vs_baseline = ours_per_chip / 1.5.  The north star is >= 3.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -28,6 +29,12 @@ REF_IMAGES_PER_SEC_PER_GPU = 1.5  # documented estimate, see module docstring
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--remat", choices=["block", "none"], default="block",
+                        help="activation checkpointing mode for the trunk")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +48,7 @@ def main():
     group_size = 4     # TRAIN.GROUP_SIZE
 
     model = build_model("deeplabv2_resnet101", 19, dtype=jnp.bfloat16,
-                        remat=True)
+                        remat=(args.remat == "block"))
 
     class _MC:
         LR = 2.5e-4
@@ -80,7 +87,7 @@ def main():
         state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics)
 
-    iters = 10
+    iters = args.iters
     t0 = time.monotonic()
     for _ in range(iters):
         state, metrics = step(state, batch, key)

@@ -2,7 +2,6 @@
 sampling (reference ``DistributedSampler`` usage + ``DataTarget``'s
 inverse-CDF sampling, dataloader_target.py:146-198,264-272)."""
 
-import bisect
 import os
 import pickle
 

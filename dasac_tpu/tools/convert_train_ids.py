@@ -8,7 +8,6 @@ import fnmatch
 import os
 import sys
 
-import numpy as np
 from PIL import Image
 
 from dasac_tpu.data.id_mappers import get_mapper

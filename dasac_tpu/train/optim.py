@@ -72,6 +72,14 @@ def build_optimizer(model_cfg, arch, params):
             txs[g] = _sgd(lr, g_wd, model_cfg.MOMENTUM, model_cfg.OPT_NESTEROV)
         elif opt == "adam":
             txs[g] = _adam(lr, g_wd, model_cfg.BETA1)
+        elif hasattr(optax, opt):
+            # generic-by-name fallback (reference base_trainer.py:66-70
+            # resolves torch.optim by getattr the same way)
+            parts = []
+            if g_wd > 0:
+                parts.append(optax.add_decayed_weights(g_wd))
+            parts.append(getattr(optax, opt)(lr))
+            txs[g] = optax.chain(*parts)
         else:
             raise ValueError("Unsupported optimizer: {}".format(model_cfg.OPT))
 

@@ -14,7 +14,6 @@ Two trainers:
     only refreshes BN statistics (train.py:281-289)
 """
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -124,17 +123,6 @@ def _pmean(tree, axis_name):
     if axis_name is None:
         return tree
     return jax.lax.pmean(tree, axis_name)
-
-
-def _barrier_like(tree, token):
-    """Data-dependence barrier: make every leaf of ``tree`` depend on the
-    scalar ``token`` so XLA cannot hoist downstream work above it."""
-    def tie(x):
-        t, xo = jax.lax.optimization_barrier((token, x))
-        del t
-        return xo
-
-    return jax.tree.map(tie, tree)
 
 
 # ---------------------------------------------------------------------------
