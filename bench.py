@@ -12,6 +12,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``value`` follows the reference's own counter (train.py:314: images/sec =
 iterations * TRAIN.BATCH_SIZE / elapsed, i.e. source images only).
 
+Measured on v5e (round 1): 13.0 img/s/chip with --remat block (default),
+13.3 with --remat none — backward convs dominate either way, so the default
+keeps the checkpointing headroom.
+
 ``vs_baseline``: the reference publishes no throughput (BASELINE.md).  We
 estimate its 4x Titan-X (Pascal, ~11 fp32 TFLOP/s each) adaptation run at
 ~6 img/s total => ~1.5 img/s per GPU, from the step's ~17 TFLOPs at ~35%
