@@ -69,9 +69,15 @@ class SyncBatchNorm(nn.Module):
                 ra_mean.value = self.decay * ra_mean.value + (1.0 - self.decay) * mean
                 ra_var.value = self.decay * ra_var.value + (1.0 - self.decay) * unbiased
 
+        # fold (mean, var, scale, bias) into one multiply-add computed in the
+        # compute dtype: per-channel f32 coefficients are exact; doing the
+        # per-pixel arithmetic in bf16 keeps the elementwise pass fusable
+        # into the conv epilogue instead of a 4x-traffic f32 round-trip
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.dtype)
+        shift = bias - mean * inv
+        y = x.astype(self.dtype) * inv.astype(self.dtype) \
+            + shift.astype(self.dtype)
+        return y
 
 
 def conv_init_normal(stddev=0.01):

@@ -115,10 +115,18 @@ class Trainer:
             self.train_step = steps_lib.shard_train_step(per_shard, self.mesh)
         else:
             self.train_step = jax.jit(per_shard, donate_argnums=(0,))
-        self.eval_step = jax.jit(
-            steps_lib.make_eval_step(self.model, self.scfg))
-        self.eval_step_teacher = jax.jit(
-            steps_lib.make_eval_step(self.model, self.scfg, teacher=True))
+        if self.sharded:
+            self.eval_step = steps_lib.shard_eval_step(
+                steps_lib.make_eval_step(self.model, self.scfg, axis),
+                self.mesh)
+            self.eval_step_teacher = steps_lib.shard_eval_step(
+                steps_lib.make_eval_step(self.model, self.scfg, axis,
+                                         teacher=True), self.mesh)
+        else:
+            self.eval_step = jax.jit(
+                steps_lib.make_eval_step(self.model, self.scfg))
+            self.eval_step_teacher = jax.jit(
+                steps_lib.make_eval_step(self.model, self.scfg, teacher=True))
         self.target_eval_step = jax.jit(
             steps_lib.make_target_eval_step(self.model, self.scfg))
         self.visual_step = jax.jit(
@@ -188,12 +196,18 @@ class Trainer:
         if target_mode:
             return self._validation_target(epoch, max_batches)
 
-        loader = self.loaders.val_loader(split, max_batches=max_batches)
+        bs = max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
+        if self.sharded:  # sharded eval needs batch % mesh == 0
+            bs = max(self.n_dev, (bs // self.n_dev) * self.n_dev)
+        loader = self.loaders.val_loader(split, batch_size=bs,
+                                         max_batches=max_batches)
         conf = None
         step = self.eval_step_teacher if use_teacher else self.eval_step
         for imgs, lbls in loader:
-            c = step(self.state, jnp.asarray(imgs),
-                     jnp.asarray(lbls.astype(np.int32)))
+            batch = (jnp.asarray(imgs), jnp.asarray(lbls.astype(np.int32)))
+            if self.sharded:
+                batch = shard_batch(self.mesh, batch)
+            c = step(self.state, *batch)
             conf = c if conf is None else conf + c
         return self._publish(writer, "logits_up", np.asarray(conf), epoch,
                              ignore)

@@ -434,3 +434,18 @@ def shard_train_step(step_fn, mesh, axis_name="data"):
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_eval_step(step_fn, mesh, axis_name="data"):
+    """SPMD eval: images/labels shard over 'data', the confusion matrix is
+    psum'd inside the step (replicated output)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
