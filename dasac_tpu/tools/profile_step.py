@@ -135,15 +135,24 @@ def main(argv=None):
     }
     selected = args.stages or list(stages)
 
+    def _checksum(tree):
+        # reduce to one scalar so timing can't be fooled by lazy/partial
+        # materialization of large pytrees through the device tunnel
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                   for x in jax.tree.leaves(tree)
+                   if hasattr(x, "dtype") and jnp.issubdtype(
+                       x.dtype, jnp.number))
+
     results = {}
     for name in selected:
         fn, fargs = stages[name]
-        out = fn(*fargs)  # compile + warmup
-        jax.block_until_ready(out)
+        timed = jax.jit(lambda *a, _f=fn: _checksum(_f(*a)))
+        out = timed(*fargs)  # compile + warmup
+        out.block_until_ready()
         t0 = time.monotonic()
         for _ in range(args.iters):
-            out = fn(*fargs)
-        jax.block_until_ready(out)
+            out = timed(*fargs)
+        out.block_until_ready()
         results[name] = (time.monotonic() - t0) / args.iters
         print(json.dumps({"stage": name,
                           "ms": round(results[name] * 1e3, 1)}), flush=True)

@@ -158,7 +158,13 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             greyscale=scfg.tgt_greyscale, mean=scfg.mean, std=scfg.std)
 
         # ---- teacher EMA / lazy init (sac.py:70-102, train.py:294) --------
-        do_update = (state.step % scfg.net_momentum_iter) == 0
+        # the reference's per-epoch counter updates at iteration 0 of every
+        # epoch, so the teacher is initialized on the very first SAC step
+        # even after resuming from an ABN snapshot; our step counter is
+        # global, so force the lazy init whenever it hasn't happened yet
+        do_update = jnp.logical_or(
+            (state.step % scfg.net_momentum_iter) == 0,
+            state.slow_init == 0)
         teacher = {"params": state.teacher_params, "stats": state.teacher_stats}
         student = {"params": state.params, "stats": state.batch_stats}
         teacher, slow_init, running_conf, teacher_diff = (
