@@ -164,15 +164,18 @@ class Trainer:
             batch = self._place((src_i, src_l, tgt_i, tgt_l))
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             if pending is not None:
+                pi, pmetrics = pending
                 self._log_train(stat, pending, epoch)
+                if pi % log_every == 0:
+                    # print the PREVIOUS step's metrics: already materialized,
+                    # so the device pipeline never stalls on the host
+                    mvals = {k: float(v) for k, v in pmetrics.items()}
+                    rate = (pi + 1) * images_per_step / timer.elapsed()
+                    msg = " | ".join("{} {:.4f}".format(k, v)
+                                     for k, v in sorted(mvals.items()))
+                    print("Loss [{:04d}]: {} | Im/Sec: {:.1f}".format(
+                        pi, msg, rate))
             pending = (i, metrics)
-            if i % log_every == 0:
-                mvals = {k: float(v) for k, v in metrics.items()}
-                rate = (i + 1) * images_per_step / timer.elapsed()
-                msg = " | ".join("{} {:.4f}".format(k, v)
-                                 for k, v in sorted(mvals.items()))
-                print("Loss [{:04d}]: {} | Im/Sec: {:.1f}".format(
-                    i, msg, rate))
         if pending is not None:
             self._log_train(stat, pending, epoch)
 
@@ -203,14 +206,36 @@ class Trainer:
                                          max_batches=max_batches)
         conf = None
         step = self.eval_step_teacher if use_teacher else self.eval_step
+        first_batch = None
         for imgs, lbls in loader:
+            if first_batch is None:
+                first_batch = (imgs, lbls)
             batch = (jnp.asarray(imgs), jnp.asarray(lbls.astype(np.int32)))
             if self.sharded:
                 batch = shard_batch(self.mesh, batch)
             c = step(self.state, *batch)
             conf = c if conf is None else conf + c
+        if first_batch is not None:
+            self._visualise_val(writer, split, first_batch, epoch)
         return self._publish(writer, "logits_up", np.asarray(conf), epoch,
                              ignore)
+
+    def _visualise_val(self, writer, split, batch, epoch):
+        """Input/GT/pred/confidence panel for a fixed val batch
+        (reference visualise_results on val sets, base_trainer.py:272-278)."""
+        self.fixed.save(split, batch)
+        imgs, lbls = self.fixed.get(split)
+        from dasac_tpu.aug import photometric as P
+
+        x = P.normalize(jnp.asarray(imgs, jnp.float32) / 255.0,
+                        self.scfg.mean, self.scfg.std)
+        _, up = self.model.apply(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            x, train=False, update_stats=False)
+        panel = visualise.source_panel(x, lbls, up, self.scfg.mean,
+                                       self.scfg.std)
+        writer.add_image("{}/panel".format(split), panel, epoch)
 
     def _validation_target(self, epoch, max_batches):
         ignore = set(self.cfg.VAL.IGNORE_CLASS)

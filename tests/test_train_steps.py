@@ -183,3 +183,22 @@ def test_target_eval_step_layers():
     for k, v in confs.items():
         assert v.shape == (C, C)
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_sharded_abn_step_runs_on_mesh():
+    mesh = make_mesh()
+    model, tx, state, scfg = _setup(axis_name="data")
+    per_shard = steps.make_abn_step(model, tx, scfg, axis_name="data")
+    step = steps.shard_train_step(per_shard, mesh)
+    batch = _batch(n_src=8, n_grp=8)
+    state1, metrics = step(state, batch, jax.random.PRNGKey(6))
+    assert int(state1.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # BN stats moved and stayed replicated-consistent
+    init_stats = create_train_state(model, tx, C, (*HW, 3)).batch_stats
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state1.batch_stats),
+                        jax.tree.leaves(init_stats)))
+    assert moved
