@@ -81,9 +81,6 @@ class SyncBatchNorm(nn.Module):
 
 
 def conv_init_normal(stddev=0.01):
+    """Reference init for from-scratch conv layers (normal(0, 0.01),
+    deeplabv2.py:110,137)."""
     return nn.initializers.normal(stddev=stddev)
-
-
-class Conv(nn.Conv):
-    """nn.Conv with float32 params and configurable compute dtype (default
-    inherited); exists so model code reads uniformly."""

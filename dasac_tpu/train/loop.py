@@ -55,7 +55,6 @@ class Trainer:
 
         # state + optimizer
         sample_hw = tuple(cfg.DATASET.CROP_SIZE)
-        dummy_params = None
         self.scfg = steps_lib.step_config_from_cfg(cfg)._replace(
             num_classes=self.nclass)
         state = create_train_state(
@@ -241,7 +240,7 @@ class Trainer:
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
         epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
         bs = self.loaders.target_batch_size()
-        src_like, tgt_loader = self.loaders.train_loaders(epoch)
+        _, tgt_loader = self.loaders.train_loaders(epoch)
         confs = None
         for bi, (imgs, lbls) in enumerate(tgt_loader):
             if max_batches and bi >= max_batches:
