@@ -31,6 +31,18 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Place host numpy batch leaves on the mesh, split along axis 0."""
+    """Place host batch leaves on the mesh, split along axis 0.
+
+    Single-process: a plain device_put with the sharded layout.
+    Multi-process (TPU pod, one process per host): each process passes its
+    LOCAL shard (global_batch / process_count leading dim) and the leaves are
+    assembled into global arrays — the DCN/ICI layout comes from the mesh.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def to_global(x):
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(to_global, batch)

@@ -101,6 +101,7 @@ class Loaders:
     # ---- per-epoch loader builders -----------------------------------------
 
     def source_batch_size(self):
+        """GLOBAL source batch (reference TRAIN.BATCH_SIZE semantics)."""
         return max(1, self.cfg.TRAIN.BATCH_SIZE)
 
     def target_batch_size(self):
@@ -109,6 +110,7 @@ class Loaders:
         return max(1, self.cfg.TRAIN.NUM_GROUPS)
 
     def steps_per_epoch(self):
+        """zip() semantics over GLOBAL batch sizes (train.py:266)."""
         n_src = len(self.source) // self.source_batch_size()
         n_tgt = len(self.target) // self.target_batch_size()
         return max(1, min(n_src, n_tgt))
@@ -116,11 +118,14 @@ class Loaders:
     def train_loaders(self, epoch):
         cfg = self.cfg
         steps = self.steps_per_epoch()
-        bs_src = self.source_batch_size()
-        bs_tgt = self.target_batch_size()
+        # multi-host: each process loads 1/num_replicas of every batch, in
+        # rank order, so the assembled global batch matches single-host
+        bs_src = self.source_batch_size() // self.num_replicas
+        bs_tgt = self.target_batch_size() // self.num_replicas
 
         s_sampler = sampler.EpochSampler(
-            len(self.source), shuffle=True, seed=self.seed, drop_last=True)
+            len(self.source), num_replicas=self.num_replicas, rank=self.rank,
+            shuffle=True, seed=self.seed, drop_last=True)
         s_sampler.set_epoch(epoch)
         src_loader = host_loader.PrefetchLoader(
             self.source, bs_src, steps,
@@ -128,7 +133,8 @@ class Loaders:
             threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
 
         t_sampler = sampler.EpochSampler(
-            len(self.target), shuffle=True, seed=self.seed + 1, drop_last=True)
+            len(self.target), num_replicas=self.num_replicas, rank=self.rank,
+            shuffle=True, seed=self.seed + 1, drop_last=True)
         t_sampler.set_epoch(epoch)
         if self.importance is not None:
             index_fn = host_loader.make_importance_index_fn(

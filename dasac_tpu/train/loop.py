@@ -43,7 +43,10 @@ class Trainer:
         print("Mesh: {} device(s){}".format(
             self.n_dev, " (data-parallel)" if self.sharded else ""))
 
-        self.loaders = Loaders(cfg, seed=self.seed)
+        # multi-host (pod): each process decodes its slice of every batch;
+        # shard_batch assembles global arrays over the full mesh
+        self.loaders = Loaders(cfg, num_replicas=jax.process_count(),
+                               rank=jax.process_index(), seed=self.seed)
         self.nclass = self.loaders.num_classes
         self.class_names = self.loaders.class_names
 
@@ -201,6 +204,9 @@ class Trainer:
         bs = max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
         if self.sharded:  # sharded eval needs batch % mesh == 0
             bs = max(self.n_dev, (bs // self.n_dev) * self.n_dev)
+        # NOTE multi-host: every process decodes the full val split; the
+        # confusion ratios are unaffected (uniform duplication), only host
+        # decode work is redundant
         loader = self.loaders.val_loader(split, batch_size=bs,
                                          max_batches=max_batches)
         conf = None

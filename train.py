@@ -26,6 +26,13 @@ def main(argv=None):
     if args.workers:
         cfg.TPU.LOADER_THREADS = args.workers
 
+    if args.multiprocessing_distributed:
+        # multi-host pod: one process per host; coordinator/topology from
+        # the standard JAX env (JAX_COORDINATOR_ADDRESS etc.)
+        import jax
+
+        jax.distributed.initialize()
+
     if args.seed is not None:
         random.seed(args.seed)
         np.random.seed(args.seed)
