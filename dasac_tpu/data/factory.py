@@ -115,16 +115,23 @@ class Loaders:
         n_tgt = len(self.target) // self.target_batch_size()
         return max(1, min(n_src, n_tgt))
 
-    def train_loaders(self, epoch):
+    def train_loaders(self, epoch, replicated_eval=False):
         cfg = self.cfg
         steps = self.steps_per_epoch()
         # multi-host: each process loads 1/num_replicas of every batch, in
-        # rank order, so the assembled global batch matches single-host
-        bs_src = self.source_batch_size() // self.num_replicas
-        bs_tgt = self.target_batch_size() // self.num_replicas
+        # rank order, so the assembled global batch matches single-host;
+        # with replicated_eval every host loads full batches (for unsharded
+        # evaluation steps)
+        reps = 1 if replicated_eval else self.num_replicas
+        rank = 0 if replicated_eval else self.rank
+        assert self.source_batch_size() % reps == 0 and \
+            self.target_batch_size() % reps == 0, (
+                "global batch sizes must divide the process count")
+        bs_src = self.source_batch_size() // reps
+        bs_tgt = self.target_batch_size() // reps
 
         s_sampler = sampler.EpochSampler(
-            len(self.source), num_replicas=self.num_replicas, rank=self.rank,
+            len(self.source), num_replicas=reps, rank=rank,
             shuffle=True, seed=self.seed, drop_last=True)
         s_sampler.set_epoch(epoch)
         src_loader = host_loader.PrefetchLoader(
@@ -133,7 +140,7 @@ class Loaders:
             threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
 
         t_sampler = sampler.EpochSampler(
-            len(self.target), num_replicas=self.num_replicas, rank=self.rank,
+            len(self.target), num_replicas=reps, rank=rank,
             shuffle=True, seed=self.seed + 1, drop_last=True)
         t_sampler.set_epoch(epoch)
         if self.importance is not None:

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dasac_tpu.core.mesh import DATA_AXIS, make_mesh, shard_batch
+from dasac_tpu.core.mesh import (DATA_AXIS, make_mesh, replicated,
+                                 shard_batch)
 from dasac_tpu.core.state import create_train_state
 from dasac_tpu.data.factory import Loaders
 from dasac_tpu.nn import convert
@@ -30,8 +31,19 @@ class Trainer:
         self.cfg = cfg
         self.seed = getattr(args, "seed", None) or seed
 
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
         n_dev = cfg.TPU.MESH_DEVICES
-        if not n_dev:
+        if self.n_proc > 1:
+            # pod: the mesh MUST span every process's devices; the global
+            # batch dims have to divide the device count
+            n_dev = len(jax.devices())
+            for name, v in (("TRAIN.BATCH_SIZE", cfg.TRAIN.BATCH_SIZE),
+                            ("TRAIN.NUM_GROUPS", cfg.TRAIN.NUM_GROUPS)):
+                assert v % n_dev == 0, (
+                    "{}={} must be divisible by the {}-device pod".format(
+                        name, v, n_dev))
+        elif not n_dev:
             # auto: largest device count dividing both batch dimensions
             n_dev = _auto_mesh_size(len(jax.devices()),
                                     cfg.TRAIN.BATCH_SIZE,
@@ -40,12 +52,16 @@ class Trainer:
         self.n_dev = int(self.mesh.devices.size)
         self.sharded = self.n_dev > 1
         axis = DATA_AXIS if self.sharded else None
-        print("Mesh: {} device(s){}".format(
-            self.n_dev, " (data-parallel)" if self.sharded else ""))
+        print("Mesh: {} device(s) / {} process(es){}".format(
+            self.n_dev, self.n_proc,
+            " (data-parallel)" if self.sharded else ""))
 
         # multi-host (pod): each process decodes its slice of every batch;
         # shard_batch assembles global arrays over the full mesh
-        self.loaders = Loaders(cfg, num_replicas=jax.process_count(),
+        assert cfg.TRAIN.BATCH_SIZE % self.n_proc == 0 and \
+            cfg.TRAIN.NUM_GROUPS % self.n_proc == 0, (
+                "global batch dims must divide the process count")
+        self.loaders = Loaders(cfg, num_replicas=self.n_proc,
                                rank=jax.process_index(), seed=self.seed)
         self.nclass = self.loaders.num_classes
         self.class_names = self.loaders.class_names
@@ -104,6 +120,13 @@ class Trainer:
             print("Resumed from {} (epoch {}, score {:.3f})".format(
                 resume, self.start_epoch, best))
         self.best = BestTracker(self.checkpointer, best)
+        if self.n_proc > 1:
+            # pod: promote the (identical-per-process) state to global
+            # replicated arrays so the multi-process pjit accepts it
+            rep = replicated(self.mesh)
+            state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)), state)
         self.state = state
 
         # compiled steps
@@ -134,14 +157,18 @@ class Trainer:
         self.visual_step = jax.jit(
             steps_lib.make_visual_step(self.model, self.scfg))
 
-        # writers
+        # writers (only the main process writes logs/checkpoints on a pod,
+        # matching the reference's rank-0 gating, train.py:523)
         logdir = getattr(args, "logdir", None) or "./logs"
-        self.writer = ScalarWriter(os.path.join(logdir, "train"))
-        self.writer_target = ScalarWriter(os.path.join(logdir, "train_target"))
-        self.writer_val = {
-            vs: ScalarWriter(os.path.join(logdir, vs))
-            for vs in self.loaders.val
-        }
+
+        def _writer(sub):
+            if self.is_main:
+                return ScalarWriter(os.path.join(logdir, sub))
+            return _NullWriter()
+
+        self.writer = _writer("train")
+        self.writer_target = _writer("train_target")
+        self.writer_val = {vs: _writer(vs) for vs in self.loaders.val}
         self.rng = jax.random.PRNGKey(self.seed)
         self.fixed = visualise.FixedBatch()
 
@@ -215,9 +242,11 @@ class Trainer:
         for imgs, lbls in loader:
             if first_batch is None:
                 first_batch = (imgs, lbls)
-            batch = (jnp.asarray(imgs), jnp.asarray(lbls.astype(np.int32)))
+            batch = (imgs, lbls.astype(np.int32))
             if self.sharded:
                 batch = shard_batch(self.mesh, batch)
+            else:
+                batch = jax.tree.map(jnp.asarray, batch)
             c = step(self.state, *batch)
             conf = c if conf is None else conf + c
         if first_batch is not None:
@@ -245,8 +274,9 @@ class Trainer:
     def _validation_target(self, epoch, max_batches):
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
         epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
-        bs = self.loaders.target_batch_size()
-        _, tgt_loader = self.loaders.train_loaders(epoch)
+        # full (unsharded) batches on every host: the target eval step is a
+        # plain jit, so each process must see the whole group batch
+        _, tgt_loader = self.loaders.train_loaders(epoch, replicated_eval=True)
         confs = None
         for bi, (imgs, lbls) in enumerate(tgt_loader):
             if max_batches and bi >= max_batches:
@@ -321,16 +351,27 @@ class Trainer:
                     s = self.validation(epoch, vs)
                     if vs == self.loaders.testset:
                         score += s
-                if snapshot:
+                if snapshot and self.is_main:
                     saved = self.best.update(self.state, score, epoch)
                     if saved:
                         print("New best snapshot: {}".format(saved))
             self.train_epoch(epoch)
-            if snapshot:
+            if snapshot and self.is_main:
                 # rolling preemption-safe snapshot after every epoch
                 self.checkpointer.save_latest(self.state, self.best.best,
                                               epoch + 1)
         return self.state
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 def _auto_mesh_size(available, batch_size, num_groups):

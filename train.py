@@ -4,34 +4,38 @@
     python train.py --cfg configs/deeplabv2_resnet101_train.yaml \
         --exp sac_gta --run v1 [--resume snapshot] [--set KEY VAL ...]
 
-One process drives the whole mesh (SPMD via shard_map); there is no
-mp.spawn / NCCL worker choreography.
+One process per HOST drives the mesh (SPMD via shard_map); there is no
+mp.spawn / NCCL worker choreography.  On a pod, pass
+``--multiprocessing-distributed`` (coordinator from the standard JAX env).
 """
 
 import random
 import sys
 
-import numpy as np
-
-from dasac_tpu.core.config import cfg, cfg_from_file, cfg_from_list
-from dasac_tpu.core.opts import get_arguments
-from dasac_tpu.train.loop import Trainer
+# NOTE: jax.distributed.initialize() must run before anything touches the
+# backend, and importing the framework initializes it (module-level jnp
+# constants) — so only argv parsing happens before the init decision.
 
 
 def main(argv=None):
-    args = get_arguments(argv if argv is not None else sys.argv[1:])
+    argv = argv if argv is not None else sys.argv[1:]
+    if "--multiprocessing-distributed" in argv:
+        import jax
+
+        jax.distributed.initialize()
+
+    import numpy as np
+
+    from dasac_tpu.core.config import cfg, cfg_from_file, cfg_from_list
+    from dasac_tpu.core.opts import get_arguments
+    from dasac_tpu.train.loop import Trainer
+
+    args = get_arguments(argv)
     cfg_from_file(args.cfg_file)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs)
     if args.workers:
         cfg.TPU.LOADER_THREADS = args.workers
-
-    if args.multiprocessing_distributed:
-        # multi-host pod: one process per host; coordinator/topology from
-        # the standard JAX env (JAX_COORDINATOR_ADDRESS etc.)
-        import jax
-
-        jax.distributed.initialize()
 
     if args.seed is not None:
         random.seed(args.seed)
