@@ -30,8 +30,7 @@ class TrainState:
     step: jnp.ndarray
 
 
-def create_train_state(model, tx, num_classes, sample_shape, rng=None,
-                       threshold_beta=1e-3):
+def create_train_state(model, tx, num_classes, sample_shape, rng=None):
     """Initialize the full state from a model + optax transform.
 
     The teacher starts as an independent copy of the student's init (the

@@ -129,13 +129,24 @@ class PrefetchLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # stop-aware put: a plain q.put blocks forever when the consumer
+            # abandons the iterator (e.g. validation's max_batches break),
+            # leaking the producer thread and its pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.threads) as pool:
                 for bi in range(self.num_batches):
-                    if stop.is_set():
+                    if stop.is_set() or not put(self._assemble(pool, bi)):
                         return
-                    q.put(self._assemble(pool, bi))
-            q.put(None)
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -130,7 +130,15 @@ def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
     w = jnp.einsum("...c,c->...", onehot, focal_w) * valid.astype(jnp.float32)
     ce = nll * w
     if use_conf:
-        loss = jnp.mean(ce * teacher_conf.astype(jnp.float32))
+        # reproduce the reference broadcast exactly: loss_ce [B,H,W] *
+        # teacher_probs [B,1,H,W] broadcasts to [B,B,H,W] before .mean()
+        # (sac.py:148), i.e. each pixel's CE is weighted by the BATCH-MEAN
+        # confidence at that location, not its own view's.  mean_{i,j,h,w}
+        # ce[j]*conf[i] == mean_{h,w}[ mean_j ce * mean_i conf ] — computed
+        # in that factored O(BHW) form instead of materializing B^2 maps.
+        ce_mean_views = jnp.mean(ce, axis=0)
+        conf_mean_views = jnp.mean(teacher_conf.astype(jnp.float32), axis=0)
+        loss = jnp.mean(ce_mean_views * conf_mean_views)
     else:
         loss = jnp.mean(ce)
 

@@ -86,9 +86,12 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     probs = jnp.asarray(
         jnp.exp(logits_up - jnp.max(logits_up, -1, keepdims=True)))
     probs = probs / jnp.sum(probs, -1, keepdims=True)
-    probs = probs * (1.0 - ignore_mask[..., None].astype(probs.dtype))
-
+    # the running-conf update consumes the PRE-masking probabilities
+    # (reference order: _update_running_conf BEFORE zeroing padded pixels,
+    # sac.py:277-282) — masking first would deflate every class mean on
+    # zoom-out views
     diags = {"teacher_probs": probs}
+    probs = probs * (1.0 - ignore_mask[..., None].astype(probs.dtype))
     if not pool_on:
         return probs, diags
 

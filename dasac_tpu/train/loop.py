@@ -78,8 +78,7 @@ class Trainer:
             num_classes=self.nclass)
         state = create_train_state(
             self.model, _TxLazy(), self.nclass, (*sample_hw, 3),
-            rng=jax.random.PRNGKey(self.seed),
-            threshold_beta=cfg.MODEL.THRESHOLD_BETA)
+            rng=jax.random.PRNGKey(self.seed))
         self.tx, _ = optim_lib.build_optimizer(cfg.MODEL, self.arch,
                                                state.params)
         state = state.replace(opt_state=self.tx.init(state.params))
@@ -121,8 +120,12 @@ class Trainer:
                 resume, self.start_epoch, best))
         self.best = BestTracker(self.checkpointer, best)
         if self.n_proc > 1:
-            # pod: promote the (identical-per-process) state to global
-            # replicated arrays so the multi-process pjit accepts it
+            # pod: make every process's state bit-identical (resume may have
+            # found different/missing snapshots per host), then promote to
+            # global replicated arrays so the multi-process pjit accepts it
+            from jax.experimental import multihost_utils
+
+            state = multihost_utils.broadcast_one_to_all(state)
             rep = replicated(self.mesh)
             state = jax.tree.map(
                 lambda x: jax.make_array_from_process_local_data(
@@ -173,6 +176,14 @@ class Trainer:
         self.fixed = visualise.FixedBatch()
 
     # ------------------------------------------------------------------ train
+
+    def _host_local_state(self):
+        """State usable by plain-jit (single-device) eval/visual steps: on a
+        pod, pull the replicated values out of the global arrays."""
+        if self.n_proc == 1:
+            return self.state
+        return jax.tree.map(
+            lambda x: jnp.asarray(x.addressable_shards[0].data), self.state)
 
     def _place(self, batch):
         if self.sharded:
@@ -261,11 +272,11 @@ class Trainer:
         imgs, lbls = self.fixed.get(split)
         from dasac_tpu.aug import photometric as P
 
+        local = self._host_local_state()
         x = P.normalize(jnp.asarray(imgs, jnp.float32) / 255.0,
                         self.scfg.mean, self.scfg.std)
         _, up = self.model.apply(
-            {"params": self.state.params,
-             "batch_stats": self.state.batch_stats},
+            {"params": local.params, "batch_stats": local.batch_stats},
             x, train=False, update_stats=False)
         panel = visualise.source_panel(x, lbls, up, self.scfg.mean,
                                        self.scfg.std)
@@ -275,7 +286,9 @@ class Trainer:
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
         epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
         # full (unsharded) batches on every host: the target eval step is a
-        # plain jit, so each process must see the whole group batch
+        # plain jit, so each process must see the whole group batch and a
+        # host-local copy of the (replicated) state
+        local_state = self._host_local_state()
         _, tgt_loader = self.loaders.train_loaders(epoch, replicated_eval=True)
         confs = None
         for bi, (imgs, lbls) in enumerate(tgt_loader):
@@ -284,7 +297,7 @@ class Trainer:
             if bi == 0:
                 self.fixed.save("train_target", (imgs, lbls))
             c = self.target_eval_step(
-                self.state, jnp.asarray(imgs),
+                local_state, jnp.asarray(imgs),
                 jnp.asarray(lbls.astype(np.int32)),
                 jax.random.fold_in(epoch_key, bi))
             confs = c if confs is None else jax.tree.map(
@@ -304,7 +317,8 @@ class Trainer:
             return
         imgs, lbls = batch
         views, refined, pseudo, student_up = self.visual_step(
-            self.state, jnp.asarray(imgs), jnp.asarray(lbls.astype(np.int32)),
+            self._host_local_state(), jnp.asarray(imgs),
+            jnp.asarray(lbls.astype(np.int32)),
             jax.random.fold_in(self.rng, 777))
         panel = visualise.target_panel(
             views, refined, pseudo, student_up,

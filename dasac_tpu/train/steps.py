@@ -197,16 +197,24 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
         # only ONE branch's activations live at a time (HBM peak halves —
         # the fused version OOMs the full 512x1024 batch on a 16G chip).
 
+        # student forwards run in train mode: the reference keeps Dropout
+        # active during SAC (only BN layers are forced to eval,
+        # basenet.py:86-100); BN stays frozen via update_stats=False
+        k_drop_src, k_drop_tgt = jax.random.split(
+            jax.random.fold_in(rng, 1337))
+
         def src_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, src_up = model.apply(variables, src_frames,
-                                    train=False, update_stats=False)
+                                    train=True, update_stats=False,
+                                    rngs={"dropout": k_drop_src})
             return sac_core.cross_entropy_mean(src_up, src_lbls)
 
         def tgt_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, tgt_up = model.apply(variables, views.frames_aug,
-                                    train=False, update_stats=False)
+                                    train=True, update_stats=False,
+                                    rngs={"dropout": k_drop_tgt})
             self_ce, per_class = sac_core.focal_ce(
                 tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
                 use_conf=scfg.use_conf_loss)

@@ -136,7 +136,9 @@ def test_focal_ce_conf_matches_torch():
         torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
         torch.from_numpy(labels.astype(np.int64)),
         weight=w, ignore_index=255, reduction="none")
-    ref = (ce * torch.from_numpy(conf)).mean().item()
+    # literal reference semantics (sac.py:148): loss_ce [B,H,W] *
+    # teacher_conf [B,1,H,W] broadcasts to [B,B,H,W] before .mean()
+    ref = (ce * torch.from_numpy(conf)[:, None]).mean().item()
     assert abs(float(loss) - ref) < 1e-6
 
     # per-class diagnostic: mean over all pixels of ce restricted to class
