@@ -82,3 +82,41 @@ def test_palette_png_mask(tmp_path):
     Image.fromarray(img).save(ip)
     _, nm = native.decode_pair(ip, fp, (16, 16))
     np.testing.assert_array_equal(nm, mask)
+
+
+def test_fuzz_color_types_bit_exact(tmp_path):
+    """Random sizes across all 8-bit PNG color types decode bit-exactly
+    (vs PIL); truncated/garbage files are rejected, never crash."""
+    rng = np.random.RandomState(0)
+    for trial in range(25):
+        h, w = rng.randint(1, 70), rng.randint(1, 70)
+        kind = ["rgb", "gray", "rgba", "palette", "la"][trial % 5]
+        if kind == "rgb":
+            im = Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+        elif kind == "gray":
+            im = Image.fromarray((rng.rand(h, w) * 255).astype(np.uint8))
+        elif kind == "rgba":
+            im = Image.fromarray((rng.rand(h, w, 4) * 255).astype(np.uint8),
+                                 "RGBA")
+        elif kind == "la":
+            im = Image.fromarray(
+                (rng.rand(h, w) * 255).astype(np.uint8)).convert("LA")
+        else:
+            im = Image.fromarray(rng.randint(0, 19, (h, w)).astype(np.uint8),
+                                 "P")
+            pal = np.zeros(768, np.uint8)
+            pal[:57] = rng.randint(0, 255, 57)
+            im.putpalette(pal)
+        p = str(tmp_path / "f{}.png".format(trial))
+        im.save(p)
+        out = native.decode_pair(p, None, (h, w))
+        assert out is not None, (kind, h, w)
+        np.testing.assert_array_equal(
+            out[0], np.asarray(Image.open(p).convert("RGB")), err_msg=kind)
+
+    trunc = str(tmp_path / "trunc.png")
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(trunc, "wb") as f:
+        f.write(data[:30])
+    assert native.decode_pair(trunc, None, (8, 8)) is None
