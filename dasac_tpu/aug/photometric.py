@@ -14,11 +14,13 @@ Images are float32 RGB in [0, 1], layout [B, H, W, 3].
 import jax
 import jax.numpy as jnp
 
-_GRAY = jnp.asarray([0.299, 0.587, 0.114])
+# plain tuple: a module-level jnp array would initialize the device
+# backend at import time (breaks late platform selection)
+_GRAY = (0.299, 0.587, 0.114)
 
 
 def _grayscale(img):
-    g = jnp.tensordot(img, _GRAY, axes=[[-1], [0]])
+    g = jnp.tensordot(img, jnp.asarray(_GRAY, img.dtype), axes=[[-1], [0]])
     return g[..., None] * jnp.ones((3,), img.dtype)
 
 
@@ -33,7 +35,7 @@ def adjust_brightness(img, f):
 def adjust_contrast(img, f):
     # torchvision: blend with the mean of the grayscale image
     mean = jnp.mean(
-        jnp.tensordot(img, _GRAY, axes=[[-1], [0]]), axis=(-2, -1),
+        jnp.tensordot(img, jnp.asarray(_GRAY, img.dtype), axes=[[-1], [0]]), axis=(-2, -1),
         keepdims=True,
     )[..., None]
     return _blend(img, jnp.broadcast_to(mean, img.shape), f)
