@@ -15,6 +15,7 @@ shapes only; vmapped over the batch.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def affine_grid(theta, height, width):
@@ -112,6 +113,19 @@ def warp_affine(img, theta, out_hw=None, mode="bilinear"):
         out_hw = (img.shape[1], img.shape[2])
     oh, ow = int(out_hw[0]), int(out_hw[1])
     n, h, w, c = img.shape
+
+    # the separable fast path is only valid for axis-aligned thetas; a
+    # rotated/sheared affine must use warp_affine_general (silently dropping
+    # the off-diagonal terms would produce wrong output).  Traced thetas
+    # from dasac_tpu.aug.pipelines are axis-aligned by construction (zeros
+    # stacked into the off-diagonals); concrete inputs are checked here.
+    if not isinstance(theta, jax.core.Tracer):
+        offdiag = np.abs(np.asarray(theta)[:, [0, 1], [1, 0]]).max()
+        if offdiag > 1e-6:
+            raise ValueError(
+                "warp_affine requires axis-aligned theta (off-diagonals "
+                "zero, got max |offdiag|={}); use warp_affine_general for "
+                "rotations".format(offdiag))
 
     # per-axis normalized maps: xin = a*xout + b
     ax, bx = theta[:, 0, 0], theta[:, 0, 2]

@@ -37,7 +37,13 @@ def _load_pair(img_path, mask_path, out_hw, mode):
     if mask_path is None:
         mask = Image.new("L", img.size, IGNORE_LABEL)
     else:
-        mask = Image.open(mask_path).convert("L")
+        mask = Image.open(mask_path)
+        # P-mode masks carry trainIds as palette INDICES (the native decoder
+        # returns them raw, and our own inference engine exports this
+        # format); convert("L") would take the luminance of the palette
+        # colors instead — keep it only for true grayscale/RGB masks
+        if mask.mode != "P":
+            mask = mask.convert("L")
     assert img.size == mask.size, (img_path, img.size, mask.size)
 
     if mode == "native":
@@ -59,7 +65,7 @@ def _center_crop(im, out_hw, fill=0):
     w, h = im.size
     if w < tw or h < th:
         new = Image.new(im.mode, (max(w, tw), max(h, th)),
-                        fill if im.mode == "L" else (fill,) * 3)
+                        fill if im.mode in ("L", "P") else (fill,) * 3)
         new.paste(im, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
         im = new
         w, h = im.size
@@ -93,6 +99,39 @@ class SegDataset:
         i = i % len(self.images)
         return _load_pair(self.images[i], self.masks[i], self.out_hw, self.mode)
 
+    def _native_eligible(self, i):
+        return (i >= 0 and self.mode == "resize" and self.out_hw is not None
+                and self.images[i % len(self.images)].endswith(".png")
+                and (self.masks[i % len(self.images)] is None
+                     or self.masks[i % len(self.images)].endswith(".png")))
+
+    def load_batch(self, idxs, pool=None, threads=8):
+        """Decode a whole batch, preferring ONE call into the C++ thread
+        pool (decode+unfilter+resize with the GIL released for the entire
+        batch); per-sample failures and non-PNG/crop samples fall back to
+        the Python path.  Returns list[(img, mask)] ordered like ``idxs``."""
+        from dasac_tpu.data import native
+
+        out = [None] * len(idxs)
+        sel = [j for j, i in enumerate(idxs) if self._native_eligible(i)]
+        if sel and native.available():
+            ii = [idxs[j] % len(self.images) for j in sel]
+            res = native.decode_batch(
+                [self.images[i] for i in ii], [self.masks[i] for i in ii],
+                self.out_hw, threads=threads, mask_fill=IGNORE_LABEL)
+            if res is not None:
+                imgs, masks, status = res
+                for k, j in enumerate(sel):
+                    if status[k] == 0:
+                        out[j] = (imgs[k], masks[k])
+        rest = [j for j in range(len(idxs)) if out[j] is None]
+        if rest:
+            loaded = (pool.map(self.load, [idxs[j] for j in rest]) if pool
+                      else map(self.load, [idxs[j] for j in rest]))
+            for j, pair in zip(rest, loaded):
+                out[j] = pair
+        return out
+
     def mask_basenames(self):
         import os
 
@@ -120,7 +159,7 @@ class PrefetchLoader:
 
     def _assemble(self, pool, bi):
         idxs = self.index_fn(bi)
-        pairs = list(pool.map(self.dataset.load, idxs))
+        pairs = self.dataset.load_batch(idxs, pool, self.threads)
         imgs = np.stack([p[0] for p in pairs])
         msks = np.stack([p[1] for p in pairs])
         return imgs, msks
@@ -142,11 +181,17 @@ class PrefetchLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.threads) as pool:
-                for bi in range(self.num_batches):
-                    if stop.is_set() or not put(self._assemble(pool, bi)):
-                        return
-            put(None)
+            # exceptions (corrupt file, transient FS error) are forwarded to
+            # the consumer instead of silently killing this thread — a dead
+            # producer with no sentinel would hang the training job forever
+            try:
+                with ThreadPoolExecutor(self.threads) as pool:
+                    for bi in range(self.num_batches):
+                        if stop.is_set() or not put(self._assemble(pool, bi)):
+                            return
+                put(None)
+            except BaseException as e:  # noqa: B036 — re-raised in consumer
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -155,6 +200,8 @@ class PrefetchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -303,6 +303,8 @@ class Trainer:
             confs = c if confs is None else jax.tree.map(
                 lambda a, b: a + b, confs, c)
         self._visualise_target(epoch)
+        if confs is None:  # empty loader / max_batches == 0
+            return 0.0
         best = 0.0
         for layer, conf in confs.items():
             best = max(best, self._publish(

@@ -27,9 +27,9 @@ def create_palette(num_classes, cmap_name="jet"):
     """Flat palette [768] from a matplotlib colormap (falls back to the VOC
     colormap when matplotlib is unavailable)."""
     try:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        mapper = cm.get_cmap(cmap_name)
+        mapper = matplotlib.colormaps[cmap_name]
         colors = (np.asarray(
             [mapper(i / max(1, num_classes - 1))[:3] for i in range(num_classes)]
         ) * 255).astype(np.uint8)

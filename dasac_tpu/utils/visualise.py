@@ -25,9 +25,9 @@ def denorm_to_u8(frames, mean, std):
 def heatmap(values01, cmap="inferno"):
     """[B,H,W] in [0,1] -> uint8 RGB via matplotlib colormap."""
     try:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        mapper = cm.get_cmap(cmap)
+        mapper = matplotlib.colormaps[cmap]
     except Exception:
         v = np.clip(np.asarray(values01), 0, 1)
         return np.stack([_to_u8(v)] * 3, -1)

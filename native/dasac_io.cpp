@@ -12,6 +12,11 @@
 
 #include <zlib.h>
 
+#if defined(USE_LIBDEFLATE) && __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define DASAC_HAVE_LIBDEFLATE 1
+#endif
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -26,6 +31,7 @@ constexpr int kErrOpen = -1;
 constexpr int kErrFormat = -2;     // not a PNG we handle
 constexpr int kErrInflate = -3;
 constexpr int kErrBounds = -4;
+constexpr int kErrAlloc = -5;
 
 struct Image {
   int w = 0, h = 0, c = 0;  // c in {1, 3}
@@ -99,6 +105,14 @@ int decode_png(const std::string& path, Image* out) {
     pos += 12 + len;
   }
   if (w == 0 || h == 0 || bit_depth != 8 || interlace != 0) return kErrFormat;
+  // reject implausible dimensions BEFORE sizing buffers: a hostile IHDR
+  // (e.g. 2^31 x 2^31) would otherwise either throw bad_alloc across the C
+  // ABI or wrap the size computation and under-allocate while the unfilter
+  // loop still writes h full rows (heap overflow)
+  if (w > 32768 || h > 32768 ||
+      uint64_t(w) * uint64_t(h) > (uint64_t(1) << 28)) {
+    return kErrBounds;
+  }
 
   int src_ch;
   switch (color_type) {
@@ -110,9 +124,23 @@ int decode_png(const std::string& path, Image* out) {
     default: return kErrFormat;
   }
 
-  // inflate the filtered scanline stream
+  // inflate the filtered scanline stream.  The exact output size is known
+  // from IHDR ((stride+1)*h), which lets libdeflate's whole-buffer
+  // decompressor run ~2-3x faster than streaming zlib — inflate is ~75% of
+  // the decode cost at GTA/Cityscapes frame sizes.
   const size_t stride = size_t(w) * src_ch;
   std::vector<uint8_t> raw((stride + 1) * h);
+#ifdef DASAC_HAVE_LIBDEFLATE
+  {
+    thread_local libdeflate_decompressor* dec =
+        libdeflate_alloc_decompressor();
+    if (!dec) return kErrInflate;
+    size_t actual = 0;
+    libdeflate_result rc = libdeflate_zlib_decompress(
+        dec, idat.data(), idat.size(), raw.data(), raw.size(), &actual);
+    if (rc != LIBDEFLATE_SUCCESS || actual != raw.size()) return kErrInflate;
+  }
+#else
   {
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
@@ -127,6 +155,7 @@ int decode_png(const std::string& path, Image* out) {
       return kErrInflate;
     }
   }
+#endif
 
   // unfilter in place into `pix`
   std::vector<uint8_t> pix(stride * h);
@@ -326,25 +355,34 @@ extern "C" {
 int dasac_decode_pair(const char* img_path, const char* mask_path, int out_h,
                       int out_w, uint8_t* out_img, uint8_t* out_mask,
                       int mask_fill) {
-  Image im;
-  int rc = decode_png(img_path, &im);
-  if (rc) return rc;
-  std::vector<uint8_t> rgb;
-  image_to_rgb(im, &rgb);
-  resize_u8(rgb.data(), im.h, im.w, 3, out_img, out_h, out_w, false);
-
-  if (mask_path && mask_path[0]) {
-    Image mk;
-    rc = decode_png(mask_path, &mk);
+  // no C++ exception may cross the C ABI into ctypes (it would abort the
+  // training process); allocation failure degrades to an error code and the
+  // Python side falls back to PIL
+  try {
+    Image im;
+    int rc = decode_png(img_path, &im);
     if (rc) return rc;
-    if (mk.w != im.w || mk.h != im.h) return kErrBounds;
-    std::vector<uint8_t> gray;
-    image_to_gray(mk, &gray);
-    resize_u8(gray.data(), mk.h, mk.w, 1, out_mask, out_h, out_w, true);
-  } else {
-    memset(out_mask, mask_fill, size_t(out_h) * out_w);
+    std::vector<uint8_t> rgb;
+    image_to_rgb(im, &rgb);
+    resize_u8(rgb.data(), im.h, im.w, 3, out_img, out_h, out_w, false);
+
+    if (mask_path && mask_path[0]) {
+      Image mk;
+      rc = decode_png(mask_path, &mk);
+      if (rc) return rc;
+      if (mk.w != im.w || mk.h != im.h) return kErrBounds;
+      std::vector<uint8_t> gray;
+      image_to_gray(mk, &gray);
+      resize_u8(gray.data(), mk.h, mk.w, 1, out_mask, out_h, out_w, true);
+    } else {
+      memset(out_mask, mask_fill, size_t(out_h) * out_w);
+    }
+    return 0;
+  } catch (const std::exception&) {
+    return kErrAlloc;
+  } catch (...) {
+    return kErrAlloc;
   }
-  return 0;
 }
 
 // Batch decode with a thread pool.  Paths are arrays of C strings; outputs

@@ -100,3 +100,57 @@ def test_center_crop_mode(root):
     ds2 = host_loader.SegDataset(imgs, msks, (64, 64), mode="center_crop")
     im2, mk2 = ds2.load(0)
     assert (mk2[0, :] == 255).all()
+
+
+def test_bundled_reference_split_lists(tmp_path):
+    """The 8 author-curated reference lists ship verbatim in <repo>/data and
+    resolve through read_split when DATASET.ROOT has no local copy
+    (reference datasets/__init__.py:21-27; val2_cityscapes is the 500-image
+    checkpoint-selection set that cannot be regenerated)."""
+    expected = {
+        "train_game_9K": 9000, "val_game_1K": 1000,
+        "train_synthia_9K": 9400, "val_synthia": 400,
+        "train_cityscapes": 2975, "val_cityscapes": 500,
+        "val2_cityscapes": 500, "test_cityscapes": 1525,
+    }
+    root = str(tmp_path)  # a root without lists -> bundled fallback
+    for split, n in expected.items():
+        imgs, msks = lists.read_split(root, split, must_exist=False)
+        assert len(imgs) == n, split
+        assert all(i.startswith(root) for i in imgs), split
+    _, msks = lists.read_split(root, "val2_cityscapes", must_exist=False)
+    assert all(m is not None for m in msks)
+    # a local list still takes precedence over the bundled copy
+    with open(tmp_path / "val_synthia.txt", "w") as f:
+        f.write("a.png b.png\n")
+    imgs, _ = lists.read_split(root, "val_synthia", must_exist=False)
+    assert len(imgs) == 1
+
+
+def test_prefetch_loader_propagates_decode_error():
+    """A corrupt/unreadable file must raise in the consumer, not hang the
+    job (the producer thread forwards its exception through the queue)."""
+    ds = host_loader.SegDataset(["/nonexistent_dir/x.png"], [None], (8, 8))
+    loader = host_loader.PrefetchLoader(
+        ds, 1, 1, host_loader.make_plain_index_fn([0], 1), threads=1)
+    with pytest.raises(Exception):
+        list(loader)
+
+
+def test_pil_palette_mask_fallback(tmp_path):
+    """The PIL fallback reads P-mode masks as palette INDICES (matching the
+    native decoder), not palette-color luminance."""
+    from PIL import Image
+
+    mask = np.random.RandomState(0).randint(0, 19, (16, 16)).astype(np.uint8)
+    p = Image.fromarray(mask, mode="P")
+    pal = np.zeros(768, np.uint8)
+    pal[:57] = np.arange(57) * 4  # distinct colors so luminance != index
+    p.putpalette(pal.tolist())
+    fp = str(tmp_path / "m.png")
+    p.save(fp)
+    ip = str(tmp_path / "i.png")
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(ip)
+    # mode="native" skips the C++ decoder -> exercises the PIL path
+    _, nm = host_loader._load_pair(ip, fp, None, "native")
+    np.testing.assert_array_equal(nm, mask)

@@ -120,3 +120,43 @@ def test_fuzz_color_types_bit_exact(tmp_path):
     with open(trunc, "wb") as f:
         f.write(data[:30])
     assert native.decode_pair(trunc, None, (8, 8)) is None
+
+
+def test_hostile_ihdr_dimensions_rejected(tmp_path):
+    """A PNG claiming absurd dimensions (2^31 x 2^31) must be rejected by
+    the bounds check, not abort via bad_alloc or overflow the unfilter
+    buffers."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    for w, h in [(2**31 - 1, 2**31 - 1), (2**16, 2**16), (40000, 2)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        body = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+                + chunk(b"IEND", b""))
+        fp = str(tmp_path / "hostile_{}.png".format(w))
+        with open(fp, "wb") as f:
+            f.write(body)
+        assert native.decode_pair(fp, None, (8, 8)) is None
+
+
+def test_load_batch_matches_per_sample(pngs, tmp_path):
+    """SegDataset.load_batch (C++ pool path) returns exactly what the
+    per-sample load path returns, including padding slots and fallback
+    samples."""
+    ip, mp, img, mask = pngs
+    # one non-PNG sample forces the PIL fallback inside a native batch
+    jp = str(tmp_path / "j.jpg")
+    Image.fromarray(np.full((20, 30, 3), 77, np.uint8)).save(jp)
+    ds = host_loader.SegDataset([ip, jp], [mp, None], (40, 56), mode="resize")
+    idxs = [0, -1, 1, 0]
+    batch = ds.load_batch(idxs, pool=None, threads=2)
+    assert len(batch) == 4
+    for got, i in zip(batch, idxs):
+        want = ds.load(i)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
