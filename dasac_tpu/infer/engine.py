@@ -32,8 +32,9 @@ class InferDataset:
     """Full-resolution loader for an infer list (reference DLInfer /
     DLCityscapesInfer, dataloader_infer.py:30-124)."""
 
-    def __init__(self, root, split, cityscapes_names=False):
-        self.images, self.masks = lists.read_split(root, split)
+    def __init__(self, root, split, cityscapes_names=False, list_dir=None):
+        self.images, self.masks = lists.read_split(root, split,
+                                                   list_dir=list_dir)
         self.cityscapes_names = cityscapes_names
 
     def __len__(self):
@@ -50,7 +51,9 @@ class InferDataset:
         if self.masks[i] is None:
             mask = Image.new("L", img.size, 255)
         else:
-            mask = Image.open(self.masks[i]).convert("L")
+            mask = Image.open(self.masks[i])
+            if mask.mode != "P":  # P-mode: pixel values ARE the label ids
+                mask = mask.convert("L")
         return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
 
 

@@ -59,13 +59,16 @@ def main(argv=None):
     else:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # infer-list is given as a path like data/val_cityscapes.txt: split name
-    # relative to DATASET.ROOT (reference --infer-list semantics)
+    # --infer-list: a split name or a path like data/val_cityscapes.txt.
+    # The list file resolves from the explicit path / DATASET.ROOT / the
+    # bundled repo lists; image paths inside always resolve against
+    # DATASET.ROOT (reference dataloader_infer.py:41-64 semantics)
     import os
 
     split = os.path.splitext(os.path.basename(args.infer_list))[0]
-    root = os.path.dirname(args.infer_list) or cfg.DATASET.ROOT
-    dataset = InferDataset(root, split,
+    list_dir = (os.path.dirname(args.infer_list)
+                if os.path.isfile(args.infer_list) else None)
+    dataset = InferDataset(cfg.DATASET.ROOT, split, list_dir=list_dir,
                            cityscapes_names=(args.dataloader == "cityscapes"))
 
     assert args.mask_output_dir, "--mask-output-dir required"
