@@ -133,16 +133,12 @@ def _fcn_map(torch_style):
     for ci in _VGG_CONV_IDX:
         bi = ci + 1
         if torch_style == "reference":
-            # blocks re-index from their slice start: block1=[:24],
-            # block2=[24:34], block3=[34:]
-            if ci < 24:
-                block, off = "block1", 0
-            elif ci < 34:
-                block, off = "block2", 24
-            else:
-                block, off = "block3", 34
-            tkey_c = "{}.{}".format(block, ci - off)
-            tkey_b = "{}.{}".format(block, bi - off)
+            # blocks are Sequential SLICES (block1=[:24], block2=[24:34],
+            # block3=[34:]); torch slicing preserves the original child
+            # names, so keys keep their torchvision feature indices
+            block = "block1" if ci < 24 else ("block2" if ci < 34 else "block3")
+            tkey_c = "{}.{}".format(block, ci)
+            tkey_b = "{}.{}".format(block, bi)
         else:
             block = "block1" if ci < 24 else ("block2" if ci < 34 else "block3")
             tkey_c = "features.{}".format(ci)

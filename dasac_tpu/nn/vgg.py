@@ -185,15 +185,19 @@ class VGG16FCN8s(nn.Module):
                        deterministic=not train)(s)
         s = nn.Conv(self.num_classes, (1, 1), name="head_score", **conv_kw)(s)
 
-        def up2(t):
-            return resize_bilinear_align_corners(t, (t.shape[-3] * 2, t.shape[-2] * 2))
+        def up_to(t, skip):
+            # reference up_x2 (fcn.py:107-109) assumes H,W divisible by 32;
+            # resizing to the skip's grid is IDENTICAL there (2x) and keeps
+            # odd sizes working instead of a broadcast crash
+            return resize_bilinear_align_corners(
+                t, (skip.shape[-3], skip.shape[-2]))
 
         score4 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_init_normal(),
                          name="score_pool4", **conv_kw)(pool4)
-        s = up2(s) + score4
+        s = up_to(s, score4) + score4
         score3 = nn.Conv(self.num_classes, (1, 1), kernel_init=conv_init_normal(),
                          name="score_pool3", **conv_kw)(pool3)
-        s = up2(s) + score3
+        s = up_to(s, score3) + score3
 
         logits = s.astype(jnp.float32)
         logits_up = resize_bilinear_align_corners(logits, (h, w))
