@@ -209,7 +209,8 @@ class Trainer:
                 if pi % log_every == 0:
                     # print the PREVIOUS step's metrics: already materialized,
                     # so the device pipeline never stalls on the host
-                    mvals = {k: float(v) for k, v in pmetrics.items()}
+                    mvals = {k: float(v) for k, v in pmetrics.items()
+                             if np.ndim(v) == 0}
                     rate = (pi + 1) * images_per_step / timer.elapsed()
                     msg = " | ".join("{} {:.4f}".format(k, v)
                                      for k, v in sorted(mvals.items()))
@@ -221,12 +222,28 @@ class Trainer:
 
         for name, val in stat.items():
             self.writer.add_scalar("train_epoch/{}".format(name), val, epoch)
+        # per-group learning rates (reference train.py:328-330; constant
+        # schedule, groups ordered like BaseNet.parameter_groups)
+        from dasac_tpu.train.optim import GROUPS, lr_multipliers
+
+        mults = lr_multipliers(cfg.MODEL.ARCH)
+        for gi, g in enumerate(GROUPS):
+            self.writer.add_scalar("lr/enc_group_{:02d}".format(gi),
+                                   cfg.MODEL.LR * mults[g], epoch)
         return stat
 
     def _log_train(self, stat, pending, epoch):
         _, metrics = pending
         for k, v in metrics.items():
-            stat.update_stats(k, float(v))
+            if k == "self_ce_per_class":
+                # [C] vector -> per-class scalars (reference loss_per_class)
+                v = np.asarray(v)
+                for ni, cname in enumerate(self.class_names):
+                    stat.update_stats(
+                        "self_ce_class/{:02d}_{}".format(ni, cname),
+                        float(v[ni]))
+            else:
+                stat.update_stats(k, float(v))
 
     # ------------------------------------------------------------- validation
 
@@ -318,13 +335,13 @@ class Trainer:
         if batch is None:
             return
         imgs, lbls = batch
-        views, refined, pseudo, student_up = self.visual_step(
+        views, refined, pseudo, student_up, diags = self.visual_step(
             self._host_local_state(), jnp.asarray(imgs),
             jnp.asarray(lbls.astype(np.int32)),
             jax.random.fold_in(self.rng, 777))
         panel = visualise.target_panel(
             views, refined, pseudo, student_up,
-            self.scfg.mean, self.scfg.std)
+            self.scfg.mean, self.scfg.std, diags=diags)
         self.writer_target.add_image("train_target/panel", panel, epoch)
         rc = np.asarray(self.state.running_conf)
         for ni, cname in enumerate(self.class_names):

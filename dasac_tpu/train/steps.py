@@ -253,6 +253,9 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             "teacher_diff": teacher_diff,
             "pseudo_cover": jnp.mean((pseudo != sac_core.IGNORE).astype(
                 jnp.float32)),
+            # [C] per-class self-supervision CE (reference loss_per_class,
+            # sac.py:360-368) — published as per-class TB scalars
+            "self_ce_per_class": per_class,
         }, axis_name)
         return new_state, metrics
 
@@ -401,9 +404,13 @@ def make_target_eval_step(model, scfg: StepConfig,
 def make_visual_step(model, scfg: StepConfig):
     """Full target-branch outputs for visualisation panels (the reference's
     TB diagnostics, base_trainer.py:118-191): returns (views, refined_probs,
-    pseudo_labels, student_logits_up)."""
+    pseudo_labels, student_logits_up, diags) where diags carries the
+    teacher-aligned probability maps and the matching warped frames
+    (reference sac.py:293-296 debug diagnostics)."""
 
     def step(state, tgt_images, tgt_labels, rng):
+        from dasac_tpu.aug.warp import warp_affine
+
         views = pipelines.augment_target_groups(
             rng, tgt_images, tgt_labels, group_size=scfg.group_size,
             target_scale=scfg.target_scale, zoom=scfg.zoom,
@@ -414,7 +421,7 @@ def make_visual_step(model, scfg: StepConfig):
             {"params": state.teacher_params,
              "batch_stats": state.teacher_stats},
             views.frames_clean, train=False, update_stats=False)
-        refined, _ = sac_refine.refine(
+        refined, rdiags = sac_refine.refine(
             t_logits, views.affine, views.affine_inv, views.padding,
             group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
         pseudo, _, _ = sac_core.pseudo_labels(
@@ -424,7 +431,12 @@ def make_visual_step(model, scfg: StepConfig):
         _, student_up = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             views.frames_aug, train=False, update_stats=False)
-        return views, refined, pseudo, student_up
+        diags = {}
+        if "teacher_aligned" in rdiags:
+            diags["teacher_aligned"] = rdiags["teacher_aligned"]
+            diags["frames_aligned"] = warp_affine(views.frames_clean,
+                                                  views.affine)
+        return views, refined, pseudo, student_up, diags
 
     return step
 

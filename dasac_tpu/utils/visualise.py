@@ -51,10 +51,20 @@ def masks_to_rgb(masks):
     return np.stack([colorize(m) for m in np.asarray(masks)])
 
 
+def entropy_heatmap(probs, cmap="jet"):
+    """[B,H,W,C] probabilities -> normalized-entropy jet heatmap
+    (reference base_trainer.py:244-250 _error_rgb with the jet colormap)."""
+    p = np.clip(np.asarray(probs, np.float32), 1e-8, 1.0)
+    ent = -np.sum(p * np.log(p), axis=-1) / np.log(p.shape[-1])
+    return heatmap(ent, cmap=cmap)
+
+
 def target_panel(views, refined_probs, pseudo, student_up, mean, std,
-                 max_items=4):
+                 max_items=4, diags=None):
     """The reference's train_target visual: aug view / clean view / GT /
-    pseudo-labels / student pred / teacher refined pred / teacher conf."""
+    pseudo-labels / student pred / teacher refined pred / teacher conf /
+    teacher entropy (jet), plus the teacher-ALIGNED views (warped frame,
+    aligned pred, aligned conf — base_trainer.py:170-176)."""
     sel = slice(0, max_items)
     aug = denorm_to_u8(np.asarray(views.frames_aug)[sel], mean, std)
     clean = denorm_to_u8(np.asarray(views.frames_clean)[sel], mean, std)
@@ -63,7 +73,16 @@ def target_panel(views, refined_probs, pseudo, student_up, mean, std,
     student = masks_to_rgb(np.argmax(np.asarray(student_up)[sel], -1))
     teacher = masks_to_rgb(np.argmax(np.asarray(refined_probs)[sel], -1))
     conf = heatmap(np.max(np.asarray(refined_probs)[sel], -1))
-    return grid([aug, clean, gt, ps, student, teacher, conf])
+    ent = entropy_heatmap(np.asarray(refined_probs)[sel])
+    rows = [aug, clean, gt, ps, student, teacher, conf, ent]
+    if diags and "teacher_aligned" in diags:
+        aligned = np.asarray(diags["teacher_aligned"])[sel]
+        frames_al = denorm_to_u8(
+            np.asarray(diags["frames_aligned"])[sel], mean, std)
+        pred_al = masks_to_rgb(np.argmax(aligned, -1))
+        blend = (0.3 * frames_al + 0.7 * pred_al).astype(np.uint8)
+        rows += [frames_al, blend, heatmap(np.max(aligned, -1))]
+    return grid(rows)
 
 
 def source_panel(frames, labels, logits_up, mean, std, max_items=4):
