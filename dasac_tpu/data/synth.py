@@ -32,20 +32,24 @@ def make_synthetic_root(root, *, n_train_src=8, n_train_tgt=8, n_val=4,
                         source_split="train_game_9K",
                         target_split="train_cityscapes",
                         val_splits=("val_cityscapes", "val2_cityscapes",
-                                    "train_cityscapes", "val_game_1K")):
+                                    "train_cityscapes", "val_game_1K"),
+                        src_hw=None, tgt_hw=None, val_hw=None):
     """Create a data root with images/, labels/, and split .txt files.
 
     Returns the root path.  Splits reuse the same pools where the reference
-    does (train_cityscapes doubles as a val set).
+    does (train_cityscapes doubles as a val set).  ``src_hw``/``tgt_hw``/
+    ``val_hw`` override ``hw`` per pool (e.g. native GTA/Cityscapes sizes
+    for input-pipeline benchmarks).
     """
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     os.makedirs(os.path.join(root, "labels"), exist_ok=True)
 
-    def write_pool(prefix, n):
+    def write_pool(prefix, n, pool_hw):
+        pool_hw = pool_hw or hw
         lines = []
         for i in range(n):
-            img, mask = _toy_scene(rng, hw[0], hw[1], num_classes)
+            img, mask = _toy_scene(rng, pool_hw[0], pool_hw[1], num_classes)
             ip = "images/{}_{:03d}.png".format(prefix, i)
             lp = "labels/{}_{:03d}.png".format(prefix, i)
             Image.fromarray(img).save(os.path.join(root, ip))
@@ -53,9 +57,9 @@ def make_synthetic_root(root, *, n_train_src=8, n_train_tgt=8, n_val=4,
             lines.append("{} {}".format(ip, lp))
         return lines
 
-    src_lines = write_pool("src", n_train_src)
-    tgt_lines = write_pool("tgt", n_train_tgt)
-    val_lines = write_pool("val", n_val)
+    src_lines = write_pool("src", n_train_src, src_hw)
+    tgt_lines = write_pool("tgt", n_train_tgt, tgt_hw)
+    val_lines = write_pool("val", n_val, val_hw)
 
     def write_split(name, lines):
         with open(os.path.join(root, name + ".txt"), "w") as f:

@@ -30,12 +30,27 @@ from dasac_tpu.train.metrics import confusion_matrix
 
 class InferDataset:
     """Full-resolution loader for an infer list (reference DLInfer /
-    DLCityscapesInfer, dataloader_infer.py:30-124)."""
+    DLCityscapesInfer, dataloader_infer.py:30-124).
+
+    Frames are standardized to the split's canonical size (GTA val frames
+    vary slightly per file — the reference resizes them too), which keeps
+    the jitted forward at ONE static shape instead of recompiling per
+    unique (H, W).  Decode goes through the native C++ path when available.
+    """
 
     def __init__(self, root, split, cityscapes_names=False, list_dir=None):
+        from dasac_tpu.data.host_loader import SegDataset
+
+        from dasac_tpu.data.factory import _split_size
+
         self.images, self.masks = lists.read_split(root, split,
                                                    list_dir=list_dir)
         self.cityscapes_names = cityscapes_names
+        # canonical split size, but never force a huge upscale on
+        # small (synthetic/test) frames — same guard as the train factory
+        self.out_hw = _split_size(split, self.images)
+        self._ds = SegDataset(self.images, self.masks, self.out_hw,
+                              mode="resize")
 
     def __len__(self):
         return len(self.images)
@@ -47,14 +62,10 @@ class InferDataset:
         return base
 
     def load(self, i):
-        img = Image.open(self.images[i]).convert("RGB")
-        if self.masks[i] is None:
-            mask = Image.new("L", img.size, 255)
-        else:
-            mask = Image.open(self.masks[i])
-            if mask.mode != "P":  # P-mode: pixel values ARE the label ids
-                mask = mask.convert("L")
-        return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)
+        return self._ds.load(i)
+
+    def load_batch(self, idxs, pool=None, threads=4):
+        return self._ds.load_batch(idxs, pool=pool, threads=threads)
 
 
 def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
@@ -148,25 +159,61 @@ class ResultWriter:
 def run_inference(model, variables, dataset, out_dir, *, mean, std,
                   num_classes=19, scales=(1.0,), flip=False, save_cs=True,
                   save_raw=False, vis=False, workers=4, verbose=True,
-                  progress_every=50):
+                  progress_every=50, batch_size=None):
     """Full loop: forward every image, export, accumulate the confusion
-    matrix when ground truth is present.  Returns (conf [C,C] or None)."""
-    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip))
+    matrix when ground truth is present.  Returns (conf [C,C] or None).
+
+    Mesh-parallel: images batch to ``batch_size`` (default: one per local
+    device) and shard over a 1-D device mesh — the data-parallel counterpart
+    of the reference's nn.DataParallel (infer_val.py:150) — with host decode
+    prefetched one batch ahead and PNG export async behind.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dasac_tpu.data import host_loader
+
+    devices = jax.local_devices()
+    b = batch_size or len(devices)
+    devices = devices[:min(len(devices), b)]
+    if b % len(devices) != 0:  # batch must tile the mesh evenly
+        devices = devices[:1]
+    mesh = Mesh(np.array(devices), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, repl)
+
+    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip),
+                       in_shardings=(repl, shard), out_shardings=shard)
+
     writer = ResultWriter(out_dir, save_cs=save_cs, save_raw=save_raw,
                           vis=vis, workers=workers)
-    conf = None
     have_gt = any(m is not None for m in dataset.masks)
-    for i in range(len(dataset)):
-        img, mask = dataset.load(i)
-        probs = infer_fn(variables, jnp.asarray(img[None]))
-        writer.submit(probs[0], img, dataset.name(i))
+    conf = None
+
+    n = len(dataset)
+    n_batches = -(-n // b)
+    idx = np.arange(n)
+    pad = n_batches * b - n
+    if pad > 0:  # tail padding: all-ignore dummies (index -1)
+        idx = np.concatenate([idx, np.full(pad, -1)])
+    loader = host_loader.PrefetchLoader(
+        dataset, b, n_batches, host_loader.make_plain_index_fn(idx, b),
+        threads=workers, prefetch=2)
+
+    for bi, (imgs, masks) in enumerate(loader):
+        probs = infer_fn(variables, jax.device_put(imgs, shard))
         if have_gt:
-            pred = jnp.argmax(probs[0], -1)
-            c = confusion_matrix(pred, jnp.asarray(mask.astype(np.int32)),
-                                 num_classes)
+            c = confusion_matrix(
+                jnp.argmax(probs, -1),
+                jax.device_put(masks.astype(np.int32), shard), num_classes)
             conf = c if conf is None else conf + c
-        if verbose and i % progress_every == 0:
-            print("[{:4d}/{:4d}] {}".format(i + 1, len(dataset),
-                                            dataset.name(i)))
+        for k in range(b):
+            i = bi * b + k
+            if i >= n:
+                break
+            writer.submit(probs[k], imgs[k], dataset.name(i))
+        if verbose and (bi * b) % progress_every < b:
+            print("[{:4d}/{:4d}] {}".format(min(bi * b + 1, n), n,
+                                            dataset.name(min(bi * b, n - 1))))
     writer.close()
     return None if conf is None else np.asarray(conf)

@@ -130,3 +130,33 @@ def test_convert_train_ids(tmp_path):
     assert n == 1
     conv = np.asarray(Image.open(out / "sub" / "m.png"))
     assert conv.tolist() == [[0, 13], [255, 255]]
+
+
+def test_mesh_parallel_inference_matches_single(root, tmp_path):
+    """run_inference sharded over the 8-device CPU mesh (batch=4, tail
+    padded) produces the same confusion matrix and exported masks as the
+    batch-1 single-device path (the reference's nn.DataParallel analogue)."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")  # 3 images -> pad to 4
+    out1 = str(tmp_path / "m1")
+    out4 = str(tmp_path / "m4")
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(1.0,), verbose=False)
+    conf1 = engine.run_inference(model, variables, ds, out1,
+                                 batch_size=1, **kw)
+    conf4 = engine.run_inference(model, variables, ds, out4,
+                                 batch_size=4, **kw)
+    assert len(jax.devices()) >= 4  # the sharded path really had a mesh
+    np.testing.assert_allclose(conf1, conf4, atol=1e-3)
+    for i in range(len(ds)):
+        a = np.asarray(Image.open(os.path.join(out1, ds.name(i) + ".png")))
+        b = np.asarray(Image.open(os.path.join(out4, ds.name(i) + ".png")))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_infer_dataset_static_shape(root):
+    """Every sample decodes to ONE canonical shape (no per-image recompile)."""
+    ds = engine.InferDataset(root, "val_cityscapes")
+    shapes = {ds.load(i)[0].shape for i in range(len(ds))}
+    assert len(shapes) == 1
