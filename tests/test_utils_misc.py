@@ -74,7 +74,7 @@ def test_visual_panels():
                                    (0.485, 0.456, 0.406),
                                    (0.229, 0.224, 0.225))
     assert panel.dtype == np.uint8 and panel.ndim == 3
-    assert panel.shape[0] == 7 * (h + 2)
+    assert panel.shape[0] == 8 * (h + 2)  # +entropy row
 
     sp = visualise.source_panel(Views.frames_aug, Views.labels, student,
                                 (0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
