@@ -85,3 +85,50 @@ def test_cli_sac_training_sharded_mesh(synth_root, tmp_path):
         "TRAIN.GROUP_SIZE", "2",
         "--resume", snaps[0],
     ])
+
+
+def test_cli_pod_two_process_training(synth_root, tmp_path):
+    """TRUE multi-process run: 2 jax.distributed CPU processes x 2 local
+    devices form a 4-device global mesh; each process decodes its half of
+    every batch (Loaders num_replicas=2), shard_batch assembles global
+    arrays, rank 0 checkpoints (the reference's mp.spawn+DDP world,
+    train.py:471-557)."""
+    import subprocess
+    import sys
+
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COORDINATOR_ADDRESS": "localhost:12377",
+        "JAX_NUM_PROCESSES": "2",
+        "PYTHONPATH": os.path.join(os.path.dirname(__file__), ".."),
+    }
+    argv = [
+        sys.executable, "train.py",
+        "--cfg", os.path.join(os.path.dirname(__file__), "..", "configs",
+                              "tiny_cpu.yaml"),
+        "--snapshot-dir", str(tmp_path / "snap"),
+        "--logdir", str(tmp_path / "logs"),
+        "--exp", "pod", "--run", "t0", "--workers", "2",
+        "--multiprocessing-distributed",
+        "--set", "DATASET.ROOT", str(synth_root),
+        "TRAIN.NUM_EPOCHS", "1",
+        "TRAIN.BATCH_SIZE", "4", "TRAIN.NUM_GROUPS", "4",
+        "TRAIN.GROUP_SIZE", "2", "LOG.ITER_TARGET", "1",
+    ]
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+    procs = [
+        subprocess.Popen(argv, env={**env_base, "JAX_PROCESS_ID": str(r)},
+                         cwd=cwd, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "rank {} failed:\n{}".format(r, out[-3000:])
+    assert "2 process(es)" in outs[0]
+    # only rank 0 checkpoints/logs
+    snaps = glob.glob(str(tmp_path / "snap" / "**" / "*.ckpt"),
+                      recursive=True)
+    assert snaps, outs[0][-2000:]

@@ -20,9 +20,24 @@ import sys
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if "--multiprocessing-distributed" in argv:
+        import os
+
         import jax
 
-        jax.distributed.initialize()
+        # explicit env resolution: JAX_* vars first, then the reference's
+        # torch.distributed convention (MASTER_ADDR/PORT + WORLD_SIZE/RANK,
+        # reference train.py:482-551) so its launch recipes keep working
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord is None and os.environ.get("MASTER_ADDR"):
+            coord = "{}:{}".format(os.environ["MASTER_ADDR"],
+                                   os.environ.get("MASTER_PORT", "12355"))
+        nproc = os.environ.get("JAX_NUM_PROCESSES",
+                               os.environ.get("WORLD_SIZE"))
+        pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("RANK"))
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=None if nproc is None else int(nproc),
+            process_id=None if pid is None else int(pid))
 
     import numpy as np
 
