@@ -46,6 +46,14 @@ def main(argv=None):
     from dasac_tpu.train.loop import Trainer
 
     args = get_arguments(argv)
+    try:  # per-process title like the reference (train.py:477); optional dep
+        import jax as _jax
+        import setproctitle
+
+        setproctitle.setproctitle(
+            "dasac_tpu | {} | p{}".format(args.run, _jax.process_index()))
+    except Exception:
+        pass
     cfg_from_file(args.cfg_file)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs)
