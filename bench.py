@@ -175,9 +175,10 @@ def _corpus(tmp="/tmp/dasac_bench_corpus"):
     return tmp
 
 
-def bench_end_to_end(state, step, iters):
+def bench_end_to_end(state, step, iters, packed=False):
     """The same step driven by the real host pipeline: native PNG decode at
-    dataset-native sizes, prefetch overlap, H2D, device step."""
+    dataset-native sizes (or memmap reads from an offline pack when
+    ``packed``), prefetch overlap, H2D, device step."""
     import jax
     import jax.numpy as jnp
 
@@ -186,11 +187,26 @@ def bench_end_to_end(state, step, iters):
     root = _corpus()
     src_imgs, src_msks = lists.read_split(root, "train_game_9K")
     tgt_imgs, tgt_msks = lists.read_split(root, "train_cityscapes")
-    source = host_loader.SegDataset(src_imgs, src_msks,
-                                    lists.canonical_size("train_game_9K"),
-                                    mode="resize")
-    # SAC target groups decode straight at CROP_SIZE (factory.py:76-79)
-    target = host_loader.SegDataset(tgt_imgs, tgt_msks, HW, mode="resize")
+    if packed:
+        from dasac_tpu.data import packed as packed_mod
+        from dasac_tpu.tools.pack_dataset import pack_split
+
+        pdir = packed_mod.default_dir(root)
+        src_hw = lists.canonical_size("train_game_9K")
+        for split, hw in (("train_game_9K", src_hw),
+                          ("train_cityscapes", HW)):
+            if packed_mod.find_pack(pdir, split, hw, "resize") is None:
+                pack_split(root, split, size=hw, verbose=False)
+        source = packed_mod.PackedDataset(
+            packed_mod.find_pack(pdir, "train_game_9K", src_hw, "resize"))
+        target = packed_mod.PackedDataset(
+            packed_mod.find_pack(pdir, "train_cityscapes", HW, "resize"))
+    else:
+        source = host_loader.SegDataset(
+            src_imgs, src_msks, lists.canonical_size("train_game_9K"),
+            mode="resize")
+        # SAC target groups decode straight at CROP_SIZE (factory.py:76-79)
+        target = host_loader.SegDataset(tgt_imgs, tgt_msks, HW, mode="resize")
 
     warm, total = 2, 2 + iters
     src_loader = host_loader.PrefetchLoader(
@@ -219,6 +235,40 @@ def bench_end_to_end(state, step, iters):
     _ = float(metrics["self_ce"])
     dt = (time.monotonic() - t0) / max(1, n_timed)
     return state, dt
+
+
+def bench_input_pipeline(iters=8):
+    """Host-only source-loader throughput (img/s) at the GTA-native decode
+    shape: PNG decode through the C++ pool vs memmap reads from a pack.
+    Isolated from the device so tunnel-bandwidth variance cannot mask the
+    decode cost."""
+    from dasac_tpu.data import host_loader, lists
+    from dasac_tpu.data import packed as packed_mod
+    from dasac_tpu.tools.pack_dataset import pack_split
+
+    root = _corpus()
+    src_hw = lists.canonical_size("train_game_9K")
+    imgs, msks = lists.read_split(root, "train_game_9K")
+    decode_ds = host_loader.SegDataset(imgs, msks, src_hw, mode="resize")
+    pdir = packed_mod.default_dir(root)
+    if packed_mod.find_pack(pdir, "train_game_9K", src_hw, "resize") is None:
+        pack_split(root, "train_game_9K", size=src_hw, verbose=False)
+    packed_ds = packed_mod.PackedDataset(
+        packed_mod.find_pack(pdir, "train_game_9K", src_hw, "resize"))
+
+    rates = []
+    for ds in (decode_ds, packed_ds):
+        loader = host_loader.PrefetchLoader(
+            ds, BATCH_SIZE, 1 + iters,
+            lambda bi: [(bi * BATCH_SIZE + k) % len(imgs)
+                        for k in range(BATCH_SIZE)],
+            threads=1, prefetch=1)  # prefetch=1: measure production rate
+        it = iter(loader)
+        next(it)  # warm (thread pool spin-up, page cache)
+        t0 = time.monotonic()
+        n = sum(1 for _ in it)
+        rates.append(n * BATCH_SIZE / (time.monotonic() - t0))
+    return rates[0], rates[1]
 
 
 def main():
@@ -275,6 +325,11 @@ def main():
         state, dt_e2e = bench_end_to_end(state, step, args.iters)
         out["end_to_end_images_per_sec"] = round(BATCH_SIZE / dt_e2e, 2)
         out["end_to_end_step_ms"] = round(dt_e2e * 1e3, 1)
+        # host input pipeline alone (no device, no tunnel): PNG decode vs a
+        # memmap pack (tools/pack_dataset) — isolates what the host can feed
+        dec, pk = bench_input_pipeline(iters=max(4, args.iters))
+        out["input_images_per_sec_decode"] = round(dec, 1)
+        out["input_images_per_sec_packed"] = round(pk, 1)
         if args.mode == "e2e":
             out["value"] = out["end_to_end_images_per_sec"]
             out["vs_baseline"] = round(

@@ -127,6 +127,9 @@ __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2
 # use the native C++ image decode/resize library when available
 __C.TPU.NATIVE_LOADER = True
+# serve splits from <DATASET.ROOT>/packed memmap packs when one matching the
+# split/size exists (see dasac_tpu/tools/pack_dataset.py); "" disables
+__C.TPU.PACKED_DIR = "auto"
 
 
 def assert_and_infer_cfg(make_immutable=True):

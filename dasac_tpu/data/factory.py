@@ -10,7 +10,7 @@ Builds host-side prefetch loaders for:
 import numpy as np
 from PIL import Image
 
-from dasac_tpu.data import host_loader, lists, sampler
+from dasac_tpu.data import host_loader, lists, packed, sampler
 from dasac_tpu.data.category import get_class_names, get_num_classes
 
 
@@ -43,6 +43,21 @@ def _split_size(split, images):
     return probed
 
 
+def open_dataset(cfg, split, images, masks, out_hw, mode):
+    """SegDataset, or a PackedDataset when a matching memmap pack exists
+    (decoded offline by tools/pack_dataset.py — skips all PNG work)."""
+    pdir = getattr(cfg.TPU, "PACKED_DIR", "")
+    if pdir:
+        if pdir == "auto":
+            pdir = packed.default_dir(cfg.DATASET.ROOT)
+        hdr = packed.find_pack(pdir, split, out_hw, mode)
+        if hdr is not None:
+            ds = packed.PackedDataset(hdr)
+            if len(ds.mask_basenames()) == len(images):
+                return ds  # pack matches the split's current file list
+    return host_loader.SegDataset(images, masks, out_hw, mode=mode)
+
+
 class Loaders:
     """Bundle the trainer consumes."""
 
@@ -61,22 +76,23 @@ class Loaders:
 
         # ---- source train ---------------------------------------------------
         src_imgs, src_msks = lists.read_split(root, task)
-        self.source = host_loader.SegDataset(
-            src_imgs, src_msks, _split_size(task, src_imgs), mode="resize")
+        self.source = open_dataset(
+            cfg, task, src_imgs, src_msks, _split_size(task, src_imgs),
+            mode="resize")
 
         # ---- target train ---------------------------------------------------
         tgt_split = cfg.TRAIN.TARGET
         tgt_imgs, tgt_msks = lists.read_split(root, tgt_split)
         if cfg.MODEL.BASELINE:
-            self.target = host_loader.SegDataset(
-                tgt_imgs, tgt_msks, _split_size(tgt_split, tgt_imgs),
-                mode="resize")
+            self.target = open_dataset(
+                cfg, tgt_split, tgt_imgs, tgt_msks,
+                _split_size(tgt_split, tgt_imgs), mode="resize")
             self.importance = None
         else:
             # SAC target groups are decoded straight at CROP_SIZE (the
             # reference's MaskScale(CROP_SIZE) head of the pipeline)
-            self.target = host_loader.SegDataset(
-                tgt_imgs, tgt_msks, crop, mode="resize")
+            self.target = open_dataset(
+                cfg, tgt_split, tgt_imgs, tgt_msks, crop, mode="resize")
             weights = sampler.load_sample_weights(cfg.DATASET.SAMPLE_WEIGHTS)
             self.importance = sampler.ImportanceSampler(
                 len(tgt_imgs), self.num_classes,
@@ -92,11 +108,8 @@ class Loaders:
         self.val = {}
         for vs in val_sets:
             vi, vm = lists.read_split(root, vs)
-            if cfg.DATASET.VAL_CROP:
-                ds = host_loader.SegDataset(vi, vm, crop, mode="center_crop")
-            else:
-                ds = host_loader.SegDataset(vi, vm, crop, mode="resize")
-            self.val[vs] = ds
+            mode = "center_crop" if cfg.DATASET.VAL_CROP else "resize"
+            self.val[vs] = open_dataset(cfg, vs, vi, vm, crop, mode=mode)
 
     # ---- per-epoch loader builders -----------------------------------------
 
