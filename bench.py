@@ -125,11 +125,14 @@ def bench_step(state, step, iters):
 
     flops, hbm_bytes = None, None
     try:
-        cost = step.lower(state, batch, key).compile().cost_analysis()
+        compiled = step.lower(state, batch, key).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
         hbm_bytes = float(cost.get("bytes accessed", 0.0)) or None
+        step = compiled  # reuse the AOT executable: no second trace/compile
+
     except Exception:
         pass
 
@@ -163,15 +166,25 @@ def _bench_h2d(n_mb=64):
 
 def _corpus(tmp="/tmp/dasac_bench_corpus"):
     """Synthetic GTA/Cityscapes-native-size PNG corpus (cached on disk)."""
+    params = dict(n_train_src=12, n_train_tgt=6, n_val=1,
+                  src_hw=(1052, 1914), tgt_hw=(1024, 2048), val_hw=(64, 64))
+    # the marker records the generation parameters: a corpus produced by an
+    # older bench with different sizes/counts must be regenerated, not reused
+    stamp = json.dumps(params, sort_keys=True)
     marker = os.path.join(tmp, ".complete")
-    if not os.path.isfile(marker):
+    done = False
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            done = f.read() == stamp
+    if not done:
+        import shutil
+
         from dasac_tpu.data.synth import make_synthetic_root
 
-        make_synthetic_root(
-            tmp, n_train_src=12, n_train_tgt=6, n_val=1,
-            src_hw=(1052, 1914), tgt_hw=(1024, 2048), val_hw=(64, 64))
+        shutil.rmtree(tmp, ignore_errors=True)
+        make_synthetic_root(tmp, **params)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(stamp)
     return tmp
 
 

@@ -7,7 +7,6 @@ Builds host-side prefetch loaders for:
   * the four validation splits per task, plus the checkpoint-selection set
 """
 
-import numpy as np
 from PIL import Image
 
 from dasac_tpu.data import host_loader, lists, packed, sampler
@@ -52,9 +51,19 @@ def open_dataset(cfg, split, images, masks, out_hw, mode):
             pdir = packed.default_dir(cfg.DATASET.ROOT)
         hdr = packed.find_pack(pdir, split, out_hw, mode)
         if hdr is not None:
-            ds = packed.PackedDataset(hdr)
-            if len(ds.mask_basenames()) == len(images):
-                return ds  # pack matches the split's current file list
+            try:
+                ds = packed.PackedDataset(hdr)
+            except (OSError, ValueError):  # truncated/corrupt data files
+                ds = None
+            # the pack must match the split's CURRENT file list, in order —
+            # a regenerated or re-sorted list silently shuffles sample
+            # identity otherwise (the header stores the packing-time order)
+            import os
+
+            current = [None if m is None else os.path.basename(m)
+                       for m in masks]
+            if ds is not None and ds.mask_basenames() == current:
+                return ds
     return host_loader.SegDataset(images, masks, out_hw, mode=mode)
 
 
@@ -171,16 +180,6 @@ class Loaders:
     def val_loader(self, split, batch_size=None, max_batches=None):
         ds = self.val[split]
         bs = batch_size or max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
-        n = -(-len(ds) // bs)
-        if max_batches:
-            n = min(n, max_batches)
-        idx = np.arange(len(ds))
-        # pad the tail batch with all-ignore dummies (index -1) so static
-        # batch shapes never double-count images in the confusion
-        pad = n * bs - len(idx)
-        if pad > 0:
-            idx = np.concatenate([idx, np.full(pad, -1)])
-        return host_loader.PrefetchLoader(
-            ds, bs, n, host_loader.make_plain_index_fn(idx, bs),
-            threads=self.cfg.TPU.LOADER_THREADS,
-            prefetch=self.cfg.TPU.PREFETCH)
+        return host_loader.padded_plain_loader(
+            ds, bs, self.cfg.TPU.LOADER_THREADS, self.cfg.TPU.PREFETCH,
+            max_batches=max_batches)

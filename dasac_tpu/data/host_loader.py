@@ -207,6 +207,24 @@ class PrefetchLoader:
             stop.set()
 
 
+def padded_plain_loader(dataset, batch_size, threads, prefetch,
+                        max_batches=None):
+    """Sequential loader over the whole dataset with the tail batch padded by
+    all-ignore dummies (index -1), keeping batch shapes static without
+    double-counting images (shared by validation and inference)."""
+    n = len(dataset)
+    num_batches = -(-n // batch_size)
+    if max_batches:
+        num_batches = min(num_batches, max_batches)
+    idx = np.arange(n)
+    pad = num_batches * batch_size - len(idx)
+    if pad > 0:
+        idx = np.concatenate([idx, np.full(pad, -1)])
+    return PrefetchLoader(dataset, batch_size, num_batches,
+                          make_plain_index_fn(idx, batch_size),
+                          threads=threads, prefetch=prefetch)
+
+
 def make_plain_index_fn(sampler_indices, batch_size):
     idx = np.asarray(sampler_indices)
 

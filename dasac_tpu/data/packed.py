@@ -49,6 +49,12 @@ def find_pack(packed_dir, split, out_hw, mode):
         return None
     if tuple(meta.get("hw", ())) != tuple(out_hw):
         return None
+    # data files must hold exactly n samples: a truncated pack (interrupted
+    # copy, disk-full) must fall back to decode, not crash memmap later
+    n, (h, w) = meta.get("n", 0), out_hw
+    if (os.path.getsize(imgs) != n * h * w * 3
+            or os.path.getsize(msks) != n * h * w):
+        return None
     return hdr
 
 

@@ -175,8 +175,11 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     devices = jax.local_devices()
     b = batch_size or len(devices)
     devices = devices[:min(len(devices), b)]
-    if b % len(devices) != 0:  # batch must tile the mesh evenly
-        devices = devices[:1]
+    if b % len(devices) != 0:
+        # batch must tile the mesh evenly: trim the batch DOWN to the nearest
+        # multiple rather than collapsing to one device (a 12-image batch on
+        # 8 chips runs as 8, not as 12 on a single chip)
+        b = (b // len(devices)) * len(devices)
     mesh = Mesh(np.array(devices), ("data",))
     shard = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
@@ -191,14 +194,8 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     conf = None
 
     n = len(dataset)
-    n_batches = -(-n // b)
-    idx = np.arange(n)
-    pad = n_batches * b - n
-    if pad > 0:  # tail padding: all-ignore dummies (index -1)
-        idx = np.concatenate([idx, np.full(pad, -1)])
-    loader = host_loader.PrefetchLoader(
-        dataset, b, n_batches, host_loader.make_plain_index_fn(idx, b),
-        threads=workers, prefetch=2)
+    loader = host_loader.padded_plain_loader(dataset, b, threads=workers,
+                                             prefetch=2)
 
     for bi, (imgs, masks) in enumerate(loader):
         probs = infer_fn(variables, jax.device_put(imgs, shard))

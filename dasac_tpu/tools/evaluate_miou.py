@@ -54,14 +54,16 @@ def _stem_key(path):
 
 
 def _index_gt(gt_dir):
-    out = {}
+    """(key -> path, format): *labelIds.png files carry Cityscapes labelIds;
+    the plain-PNG fallback (synthetic/test layouts, pre-converted masks)
+    carries trainIds directly and must NOT go through the labelId LUT."""
     pattern = os.path.join(gt_dir, "**", "*labelIds.png")
     files = glob.glob(pattern, recursive=True)
-    if not files:  # plain directory of masks (synthetic/test layouts)
+    gt_format = "labelid"
+    if not files:
         files = glob.glob(os.path.join(gt_dir, "**", "*.png"), recursive=True)
-    for f in files:
-        out[_stem_key(f)] = f
-    return out
+        gt_format = "trainid"
+    return {_stem_key(f): f for f in files}, gt_format
 
 
 def _read_mask(path):
@@ -91,10 +93,12 @@ def _detect_format(arr, png_mode, pred_dir):
     return "trainid"
 
 
-def evaluate_dirs(pred_dir, gt_dir, pred_format="auto",
+def evaluate_dirs(pred_dir, gt_dir, pred_format="auto", gt_format="auto",
                   num_classes=NUM_CLASSES, verbose=False):
     """Accumulate the [C, C] confusion over every matched (pred, gt) pair."""
-    gt_index = _index_gt(gt_dir)
+    gt_index, detected_gt = _index_gt(gt_dir)
+    if gt_format == "auto":
+        gt_format = detected_gt
     preds = sorted(glob.glob(os.path.join(pred_dir, "*.png")))
     if not preds:
         raise FileNotFoundError("no prediction PNGs in %s" % pred_dir)
@@ -113,10 +117,14 @@ def evaluate_dirs(pred_dir, gt_dir, pred_format="auto",
             continue
         matched += 1
         pred, png_mode = _read_mask(p)
-        gt = lut[_read_mask(gt_path)[0]]
-        fmt = (_detect_format(pred, png_mode, pred_dir)
-               if pred_format == "auto" else pred_format)
-        if fmt == "labelid":
+        gt = _read_mask(gt_path)[0]
+        if gt_format == "labelid":
+            gt = lut[gt]
+        if pred_format == "auto":
+            # decide ONCE, from the first matched file, so one run never
+            # mixes interpretations across frames
+            pred_format = _detect_format(pred, png_mode, pred_dir)
+        if pred_format == "labelid":
             pred = lut[pred]
         assert pred.shape == gt.shape, (p, pred.shape, gt_path, gt.shape)
         valid = gt != IGNORE_LABEL
@@ -165,6 +173,10 @@ def main(argv=None):
                          "*labelIds.png)")
     ap.add_argument("--pred-format", default="auto",
                     choices=["auto", "trainid", "labelid"])
+    ap.add_argument("--gt-format", default="auto",
+                    choices=["auto", "trainid", "labelid"],
+                    help="auto: *labelIds.png files are labelIds, the "
+                         "plain-PNG fallback is trainIds")
     ap.add_argument("--ignore-class", type=int, nargs="*", default=[],
                     help="class ids excluded from the mean "
                          "(SYNTHIA protocol: 9 14 16)")
@@ -173,6 +185,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     conf, matched = evaluate_dirs(args.pred, args.gt, args.pred_format,
+                                  gt_format=args.gt_format,
                                   verbose=args.verbose)
     report, payload = format_report(conf, args.ignore_class)
     payload["images"] = matched

@@ -96,11 +96,13 @@ def test_cli_pod_two_process_training(synth_root, tmp_path):
     import subprocess
     import sys
 
+    from dasac_tpu.utils.sys_tools import find_free_port
+
     env_base = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
-        "JAX_COORDINATOR_ADDRESS": "localhost:12377",
+        "JAX_COORDINATOR_ADDRESS": "localhost:%d" % find_free_port(),
         "JAX_NUM_PROCESSES": "2",
         "PYTHONPATH": os.path.join(os.path.dirname(__file__), ".."),
     }

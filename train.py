@@ -26,9 +26,14 @@ def main(argv=None):
 
         # explicit env resolution: JAX_* vars first, then the reference's
         # torch.distributed convention (MASTER_ADDR/PORT + WORLD_SIZE/RANK,
-        # reference train.py:482-551) so its launch recipes keep working
+        # reference train.py:482-551) so its launch recipes keep working.
+        # MASTER_ADDR alone (a stale torch leftover in the environment) must
+        # NOT override initialize()'s TPU-metadata auto-detection — only a
+        # complete torch-style launch (addr + world size + rank) counts.
         coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-        if coord is None and os.environ.get("MASTER_ADDR"):
+        if (coord is None and os.environ.get("MASTER_ADDR")
+                and os.environ.get("WORLD_SIZE")
+                and os.environ.get("RANK")):
             coord = "{}:{}".format(os.environ["MASTER_ADDR"],
                                    os.environ.get("MASTER_PORT", "12355"))
         nproc = os.environ.get("JAX_NUM_PROCESSES",
