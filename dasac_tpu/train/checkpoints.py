@@ -17,6 +17,15 @@ import numpy as np
 from flax import serialization
 
 
+class NullTx:
+    """Optimizer stand-in for load-only state construction (inference,
+    export): satisfies create_train_state's tx.init contract with an empty
+    opt_state."""
+
+    def init(self, params):
+        return ()
+
+
 class Checkpointer:
     def __init__(self, path, max_n=3):
         self.path = path

@@ -21,7 +21,7 @@ from dasac_tpu.core.state import create_train_state
 from dasac_tpu.data.category import get_class_names, get_num_classes
 from dasac_tpu.infer.engine import InferDataset, run_inference
 from dasac_tpu.nn.factory import build_model, compute_dtype
-from dasac_tpu.train.checkpoints import Checkpointer
+from dasac_tpu.train.checkpoints import Checkpointer, NullTx
 from dasac_tpu.train.metrics import summarise
 
 
@@ -45,7 +45,7 @@ def main(argv=None):
     num_classes = get_num_classes()
     model = build_model(cfg.MODEL.ARCH, num_classes,
                         dtype=compute_dtype(cfg.TPU))
-    state = create_train_state(model, _NullTx(), num_classes,
+    state = create_train_state(model, NullTx(), num_classes,
                                (*cfg.DATASET.CROP_SIZE, 3),
                                rng=jax.random.PRNGKey(args.seed or 0))
     assert args.resume, "--resume snapshot required"
@@ -86,11 +86,6 @@ def main(argv=None):
             print("IoU_{}: {:4.3f}".format(name, v))
         print("mIoU ({} classes): {:4.3f}".format(
             len(keep), float(np.mean(iou[keep]))))
-
-
-class _NullTx:
-    def init(self, params):
-        return ()
 
 
 if __name__ == "__main__":

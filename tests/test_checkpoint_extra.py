@@ -7,19 +7,14 @@ import numpy as np
 
 from dasac_tpu.core.state import create_train_state
 from dasac_tpu.nn.factory import build_model
-from dasac_tpu.train.checkpoints import Checkpointer
+from dasac_tpu.train.checkpoints import Checkpointer, NullTx
 from dasac_tpu.train.loop import _auto_mesh_size
 from dasac_tpu.train.metrics import mean_iou
 
 
-class _NullTx:
-    def init(self, params):
-        return ()
-
-
 def _state():
     model = build_model("tiny", 4)
-    return model, create_train_state(model, _NullTx(), 4, (16, 16, 3))
+    return model, create_train_state(model, NullTx(), 4, (16, 16, 3))
 
 
 def test_save_latest_roundtrip(tmp_path):
