@@ -75,9 +75,9 @@ def export_snapshot(state, arch, score=0.0, epoch=0):
         sd = export_variables({"params": params, "batch_stats": stats}, arch)
         model.update({prefix + k: v for k, v in sd.items()})
     model["module.running_conf"] = torch.from_numpy(
-        np.asarray(state.running_conf, np.float32))
+        np.array(state.running_conf, np.float32))
     model["module.slow_init"] = torch.from_numpy(
-        np.asarray(state.slow_init, np.float32).reshape(1))
+        np.array(state.slow_init, np.float32).reshape(1))
     return {"model": model, "opt": {}, "score": float(score),
             "epoch": int(epoch)}
 
