@@ -159,7 +159,7 @@ class ResultWriter:
 def run_inference(model, variables, dataset, out_dir, *, mean, std,
                   num_classes=19, scales=(1.0,), flip=False, save_cs=True,
                   save_raw=False, vis=False, workers=4, verbose=True,
-                  progress_every=50, batch_size=None):
+                  progress_every=50, batch_size=None, spatial=False):
     """Full loop: forward every image, export, accumulate the confusion
     matrix when ground truth is present.  Returns (conf [C,C] or None).
 
@@ -167,21 +167,31 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     device) and shard over a 1-D device mesh — the data-parallel counterpart
     of the reference's nn.DataParallel (infer_val.py:150) — with host decode
     prefetched one batch ahead and PNG export async behind.
+
+    ``spatial=True`` shards the image HEIGHT over the mesh instead of the
+    batch (GSPMD inserts the conv halo exchanges): all chips cooperate on
+    each full-resolution frame, cutting per-image latency where batching
+    cannot (no reference counterpart — nn.DataParallel only splits batches).
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from dasac_tpu.data import host_loader
 
     devices = jax.local_devices()
-    b = batch_size or len(devices)
-    devices = devices[:min(len(devices), b)]
-    if b % len(devices) != 0:
-        # batch must tile the mesh evenly: trim the batch DOWN to the nearest
-        # multiple rather than collapsing to one device (a 12-image batch on
-        # 8 chips runs as 8, not as 12 on a single chip)
-        b = (b // len(devices)) * len(devices)
-    mesh = Mesh(np.array(devices), ("data",))
-    shard = NamedSharding(mesh, P("data"))
+    if spatial:
+        b = batch_size or 1
+        mesh = Mesh(np.array(devices), ("sp",))
+        shard = NamedSharding(mesh, P(None, "sp"))
+    else:
+        b = batch_size or len(devices)
+        devices = devices[:min(len(devices), b)]
+        if b % len(devices) != 0:
+            # batch must tile the mesh evenly: trim the batch DOWN to the
+            # nearest multiple rather than collapsing to one device (a
+            # 12-image batch on 8 chips runs as 8, not as 12 on one chip)
+            b = (b // len(devices)) * len(devices)
+        mesh = Mesh(np.array(devices), ("data",))
+        shard = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     variables = jax.device_put(variables, repl)
 

@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--teacher", action="store_true",
                         help="use the EMA teacher weights")
+    parser.add_argument("--spatial", action="store_true",
+                        help="shard the image height over the mesh instead "
+                             "of the batch (all chips cooperate per frame — "
+                             "lowest single-image latency)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     cfg_from_file(args.cfg_file)
@@ -76,7 +80,8 @@ def main(argv=None):
         model, variables, dataset, args.mask_output_dir,
         mean=tuple(cfg.DATASET.MEAN), std=tuple(cfg.DATASET.STD),
         num_classes=num_classes, scales=tuple(args.scales), flip=args.flip,
-        save_raw=args.save_raw, vis=args.vis, workers=args.workers)
+        save_raw=args.save_raw, vis=args.vis, workers=args.workers,
+        spatial=args.spatial)
 
     if conf is not None:
         iou, pr, re = summarise(conf)

@@ -160,3 +160,26 @@ def test_infer_dataset_static_shape(root):
     ds = engine.InferDataset(root, "val_cityscapes")
     shapes = {ds.load(i)[0].shape for i in range(len(ds))}
     assert len(shapes) == 1
+
+
+def test_spatial_sharded_inference_matches_batch(root, tmp_path):
+    """spatial=True shards the image HEIGHT over the mesh (GSPMD conv halo
+    exchanges); the result must equal the batch-sharded path exactly —
+    no reference counterpart (nn.DataParallel can only split batches)."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    out_b = str(tmp_path / "batch")
+    out_s = str(tmp_path / "spatial")
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(1.0,), verbose=False)
+    conf_b = engine.run_inference(model, variables, ds, out_b,
+                                  batch_size=1, **kw)
+    conf_s = engine.run_inference(model, variables, ds, out_s,
+                                  spatial=True, **kw)
+    assert len(jax.devices()) >= 4
+    np.testing.assert_allclose(conf_b, conf_s, atol=1e-3)
+    for i in range(len(ds)):
+        a = np.asarray(Image.open(os.path.join(out_b, ds.name(i) + ".png")))
+        b = np.asarray(Image.open(os.path.join(out_s, ds.name(i) + ".png")))
+        np.testing.assert_array_equal(a, b)
