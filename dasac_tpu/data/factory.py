@@ -57,12 +57,16 @@ def open_dataset(cfg, split, images, masks, out_hw, mode):
                 ds = None
             # the pack must match the split's CURRENT file list, in order —
             # a regenerated or re-sorted list silently shuffles sample
-            # identity otherwise (the header stores the packing-time order)
+            # identity otherwise (the header stores the packing-time order).
+            # Image basenames matter too: mask-less splits would otherwise
+            # match any same-length pack ([None]*n == [None]*n)
             import os
 
-            current = [None if m is None else os.path.basename(m)
-                       for m in masks]
-            if ds is not None and ds.mask_basenames() == current:
+            cur_m = [None if m is None else os.path.basename(m)
+                     for m in masks]
+            cur_i = [os.path.basename(p) for p in images]
+            if (ds is not None and ds.mask_basenames() == cur_m
+                    and ds.image_basenames() == cur_i):
                 return ds
     return host_loader.SegDataset(images, masks, out_hw, mode=mode)
 

@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2  # v2: header carries image basenames (pack-identity check)
 
 
 def default_dir(root):
@@ -68,6 +68,7 @@ class PackedDataset:
         self.out_hw = tuple(meta["hw"])
         self.mode = meta["mode"]
         self._mask_basenames = meta["mask_basenames"]
+        self._image_basenames = meta["image_basenames"]
         self._n = int(meta["n"])
         base = header_path[:-len(".json")]
         h, w = self.out_hw
@@ -100,6 +101,9 @@ class PackedDataset:
     def mask_basenames(self):
         return list(self._mask_basenames)
 
+    def image_basenames(self):
+        return list(self._image_basenames)
+
 
 def write_pack(dataset, split, packed_dir, progress_every=200, verbose=True):
     """Decode every sample of ``dataset`` (a SegDataset) into a pack.
@@ -131,6 +135,7 @@ def write_pack(dataset, split, packed_dir, progress_every=200, verbose=True):
         "hw": [h, w],
         "mode": dataset.mode,
         "mask_basenames": dataset.mask_basenames(),
+        "image_basenames": [os.path.basename(p) for p in dataset.images],
     }
     with open(hdr + ".tmp", "w") as f:
         json.dump(meta, f)

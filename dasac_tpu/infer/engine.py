@@ -172,6 +172,10 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     batch (GSPMD inserts the conv halo exchanges): all chips cooperate on
     each full-resolution frame, cutting per-image latency where batching
     cannot (no reference counterpart — nn.DataParallel only splits batches).
+    Heights that do not tile the mesh are edge-padded to the next multiple
+    and the output sliced back — the forward then runs at a marginally
+    taller canvas (sub-pixel interpolation shifts; bit-identical at
+    divisible sizes).
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -208,11 +212,24 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
                                              prefetch=2)
 
     for bi, (imgs, masks) in enumerate(loader):
+        # spatial sharding requires the height to tile the mesh evenly
+        # (GTA's canonical 1052 px does not at 8 devices): pad
+        # edge-replicated rows up to the next multiple and slice them off
+        # the output.  The extra rows only perturb the receptive-field
+        # context of the last few true rows.
+        h_img = imgs.shape[1]
+        h_pad = (-h_img % len(devices)) if spatial else 0
+        if h_pad:
+            imgs = np.pad(imgs, ((0, 0), (0, h_pad), (0, 0), (0, 0)),
+                          mode="edge")
         probs = infer_fn(variables, jax.device_put(imgs, shard))
+        if h_pad:
+            probs = probs[:, :h_img]
+            imgs = imgs[:, :h_img]
         if have_gt:
             c = confusion_matrix(
                 jnp.argmax(probs, -1),
-                jax.device_put(masks.astype(np.int32), shard), num_classes)
+                jnp.asarray(masks.astype(np.int32)), num_classes)
             conf = c if conf is None else conf + c
         for k in range(b):
             i = bi * b + k

@@ -128,6 +128,12 @@ def evaluate_dirs(pred_dir, gt_dir, pred_format="auto", gt_format="auto",
             pred = lut[pred]
         assert pred.shape == gt.shape, (p, pred.shape, gt_path, gt.shape)
         valid = gt != IGNORE_LABEL
+        bad = valid & (gt >= num_classes)
+        if bad.any():
+            raise ValueError(
+                "%s holds values outside the trainId range (e.g. %d) — "
+                "if the ground truth is Cityscapes labelIds, pass "
+                "--gt-format labelid" % (gt_path, int(gt[bad][0])))
         pred_c = np.minimum(pred, num_classes).astype(np.int64)
         idx = gt[valid].astype(np.int64) * width + pred_c[valid]
         conf += np.bincount(idx, minlength=width * width).reshape(width, width)

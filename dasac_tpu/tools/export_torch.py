@@ -106,11 +106,10 @@ def main(argv=None):
     ckpt = Checkpointer(None)
     ckpt.arch = args.arch
     state, epoch, score = ckpt.load(args.resume, state)
-    torch.save(export_snapshot(state, args.arch, score=score or 0.0,
-                               epoch=epoch or 0), args.out)
-    n = len(export_variables(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        args.arch))
+    snap = export_snapshot(state, args.arch, score=score or 0.0,
+                           epoch=epoch or 0)
+    torch.save(snap, args.out)
+    n = sum(k.startswith("module.backbone.") for k in snap["model"])
     print("exported %s (%d tensors/net + buffers) -> %s"
           % (args.arch, n, args.out))
     return 0

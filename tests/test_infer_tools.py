@@ -183,3 +183,34 @@ def test_spatial_sharded_inference_matches_batch(root, tmp_path):
         a = np.asarray(Image.open(os.path.join(out_b, ds.name(i) + ".png")))
         b = np.asarray(Image.open(os.path.join(out_s, ds.name(i) + ".png")))
         np.testing.assert_array_equal(a, b)
+
+
+def test_spatial_inference_pads_non_divisible_height(tmp_path):
+    """GTA's canonical 1052-px height does not tile an 8-device mesh; the
+    spatial path must pad/slice instead of crashing device_put (the batch
+    path is immune).  Pad-and-slice means the forward runs at a marginally
+    taller canvas, so align_corners interpolation positions shift slightly
+    (sub-pixel) everywhere — with RANDOM weights that flips a noticeable
+    share of argmaxes, with trained weights predictions are essentially
+    unchanged.  Exact equality at divisible sizes is asserted by
+    test_spatial_sharded_inference_matches_batch."""
+    root = make_synthetic_root(str(tmp_path / "d42"), hw=(42, 56), n_val=2)
+    model = build_model("tiny", 19)
+    variables = _variables(model, (42, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    assert ds.out_hw[0] % len(jax.devices()) != 0
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(1.0,), verbose=False)
+    conf_b = engine.run_inference(model, variables, ds,
+                                  str(tmp_path / "b"), batch_size=1, **kw)
+    conf_s = engine.run_inference(model, variables, ds,
+                                  str(tmp_path / "s"), spatial=True, **kw)
+    for i in range(len(ds)):
+        a = np.asarray(Image.open(
+            os.path.join(str(tmp_path / "b"), ds.name(i) + ".png")))
+        bm = np.asarray(Image.open(
+            os.path.join(str(tmp_path / "s"), ds.name(i) + ".png")))
+        assert bm.shape == a.shape == (42, 56)
+        agree = float(np.mean(a == bm))
+        assert agree > 0.8, agree  # random-weights sub-pixel-shift flips
+    assert abs(float(conf_b.sum()) - float(conf_s.sum())) < 1e-3

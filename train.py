@@ -17,6 +17,31 @@ import sys
 # constants) — so only argv parsing happens before the init decision.
 
 
+def resolve_dist_env(env):
+    """(coordinator_address, num_processes, process_id) for
+    jax.distributed.initialize, from JAX_* vars first, then the reference's
+    torch.distributed convention (MASTER_ADDR/PORT + WORLD_SIZE/RANK,
+    reference train.py:482-551) so its launch recipes keep working.
+
+    The torch-style vars only count as a COMPLETE launch (addr + world size
+    + rank together): a stale MASTER_ADDR or WORLD_SIZE leftover alone must
+    not override initialize()'s TPU-metadata auto-detection.
+    """
+    coord = env.get("JAX_COORDINATOR_ADDRESS")
+    torch_style = bool(env.get("MASTER_ADDR") and env.get("WORLD_SIZE")
+                       and env.get("RANK"))
+    if coord is None and torch_style:
+        coord = "{}:{}".format(env["MASTER_ADDR"],
+                               env.get("MASTER_PORT", "12355"))
+    nproc = env.get("JAX_NUM_PROCESSES",
+                    env.get("WORLD_SIZE") if torch_style else None)
+    pid = env.get("JAX_PROCESS_ID",
+                  env.get("RANK") if torch_style else None)
+    return (coord,
+            None if nproc is None else int(nproc),
+            None if pid is None else int(pid))
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if "--multiprocessing-distributed" in argv:
@@ -24,25 +49,9 @@ def main(argv=None):
 
         import jax
 
-        # explicit env resolution: JAX_* vars first, then the reference's
-        # torch.distributed convention (MASTER_ADDR/PORT + WORLD_SIZE/RANK,
-        # reference train.py:482-551) so its launch recipes keep working.
-        # MASTER_ADDR alone (a stale torch leftover in the environment) must
-        # NOT override initialize()'s TPU-metadata auto-detection — only a
-        # complete torch-style launch (addr + world size + rank) counts.
-        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-        if (coord is None and os.environ.get("MASTER_ADDR")
-                and os.environ.get("WORLD_SIZE")
-                and os.environ.get("RANK")):
-            coord = "{}:{}".format(os.environ["MASTER_ADDR"],
-                                   os.environ.get("MASTER_PORT", "12355"))
-        nproc = os.environ.get("JAX_NUM_PROCESSES",
-                               os.environ.get("WORLD_SIZE"))
-        pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("RANK"))
+        coord, nproc, pid = resolve_dist_env(os.environ)
         jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=None if nproc is None else int(nproc),
-            process_id=None if pid is None else int(pid))
+            coordinator_address=coord, num_processes=nproc, process_id=pid)
 
     import numpy as np
 
