@@ -250,6 +250,35 @@ def bench_end_to_end(state, step, iters, packed=False):
     return state, dt
 
 
+def bench_inference(iters=10, hw=(1024, 2048)):
+    """Single-chip full-resolution inference latency/throughput: the
+    deployment-side counterpart of the train-step headline (Cityscapes-native
+    1024x2048, bf16, single scale — the reference's infer_val.py workload,
+    which it never measured)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasac_tpu.infer.engine import make_infer_fn
+    from dasac_tpu.nn.factory import build_model
+
+    model = build_model("deeplabv2_resnet101", 19, dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, jnp.zeros((1, 64, 64, 3)),
+                             train=False, update_stats=False)
+    )(jax.random.PRNGKey(0))
+    fn = jax.jit(make_infer_fn(model, (0.485, 0.456, 0.406),
+                               (0.229, 0.224, 0.225)))
+    x = jnp.asarray((np.random.RandomState(0).rand(1, *hw, 3) * 255)
+                    .astype(np.uint8))
+    probs = fn(variables, x)
+    _ = float(jnp.sum(probs[0, 0, 0]))  # fence (see bench_step note)
+    t0 = time.monotonic()
+    for _ in range(iters):
+        probs = fn(variables, x)
+    _ = float(jnp.sum(probs[0, 0, 0]))
+    return iters / (time.monotonic() - t0)
+
+
 def bench_input_pipeline(iters=8):
     """Host-only source-loader throughput (img/s) at the GTA-native decode
     shape: PNG decode through the C++ pool vs memmap reads from a pack.
@@ -291,7 +320,7 @@ def main():
                              "(none measured fastest: 599 vs 621 ms/step; "
                              "block trades ~3.5%% for HBM headroom)")
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--mode", choices=["full", "step", "e2e"],
+    parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
     args = parser.parse_args()
 
@@ -306,6 +335,18 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+
+    if args.mode == "infer":
+        rate = bench_inference(iters=args.iters)
+        print(json.dumps({
+            "metric": "inference_images_per_sec_per_chip",
+            "value": round(rate, 2),
+            "unit": "img/s/chip (1024x2048 Cityscapes-native, r101, bf16, "
+                    "single-scale)",
+            "ms_per_frame": round(1e3 / rate, 1),
+            "vs_baseline": None,  # the reference publishes no inference rate
+        }))
+        return
 
     state, step = _build(remat=(args.remat == "block"))
 

@@ -160,6 +160,15 @@ class Trainer:
         self.visual_step = jax.jit(
             steps_lib.make_visual_step(self.model, self.scfg))
 
+        def _vis_forward(params, stats, x):
+            _, up = self.model.apply({"params": params, "batch_stats": stats},
+                                     x, train=False, update_stats=False)
+            return up
+
+        # jitted: an eager apply would dispatch op-by-op (very slow through
+        # a remote-device tunnel)
+        self._vis_forward = jax.jit(_vis_forward)
+
         # writers (only the main process writes logs/checkpoints on a pod,
         # matching the reference's rank-0 gating, train.py:523)
         logdir = getattr(args, "logdir", None) or "./logs"
@@ -292,9 +301,7 @@ class Trainer:
         local = self._host_local_state()
         x = P.normalize(jnp.asarray(imgs, jnp.float32) / 255.0,
                         self.scfg.mean, self.scfg.std)
-        _, up = self.model.apply(
-            {"params": local.params, "batch_stats": local.batch_stats},
-            x, train=False, update_stats=False)
+        up = self._vis_forward(local.params, local.batch_stats, x)
         panel = visualise.source_panel(x, lbls, up, self.scfg.mean,
                                        self.scfg.std)
         writer.add_image("{}/panel".format(split), panel, epoch)

@@ -12,6 +12,7 @@ OUTPUT_DIR=${OUTPUT_DIR:-./results}
 DATALOADER=${DATALOADER:-cityscapes}
 SCALES=${SCALES:-1.0}
 FLIP_FLAG=${FLIP:+--flip}
+SPATIAL_FLAG=${SPATIAL:+--spatial}
 
 if [ -z "$SNAPSHOT_PATH" ] || [ ! -f "$SNAPSHOT_PATH" ]; then
   echo "[E] set SNAPSHOT_PATH to a .ckpt or reference .pth snapshot"
@@ -26,6 +27,6 @@ mkdir -p "$SAVE_DIR"
 CMD="python infer_val.py --cfg configs/${CFG_NAME}.yaml \
   --dataloader $DATALOADER --resume $SNAPSHOT_PATH \
   --infer-list data/${FILELIST}.txt --mask-output-dir $SAVE_DIR \
-  --scales $SCALES $FLIP_FLAG"
+  --scales $SCALES $FLIP_FLAG $SPATIAL_FLAG"
 echo "$CMD"
 $CMD 2>&1 | tee "$LOG_FILE"
