@@ -130,6 +130,9 @@ __C.TPU.NATIVE_LOADER = True
 # serve splits from <DATASET.ROOT>/packed memmap packs when one matching the
 # split/size exists (see dasac_tpu/tools/pack_dataset.py); "" disables
 __C.TPU.PACKED_DIR = "auto"
+# persistent XLA compile cache: restarts (preemption resume, re-launch with
+# unchanged config) skip the multi-minute step compile; "" disables
+__C.TPU.COMPILE_CACHE = "~/.cache/dasac_tpu/xla"
 
 
 def assert_and_infer_cfg(make_immutable=True):

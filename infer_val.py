@@ -46,6 +46,10 @@ def main(argv=None):
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs)
 
+    from dasac_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache(cfg.TPU.COMPILE_CACHE)
+
     num_classes = get_num_classes()
     model = build_model(cfg.MODEL.ARCH, num_classes,
                         dtype=compute_dtype(cfg.TPU))

@@ -104,3 +104,15 @@ def test_timer():
     t.update_progress(0.5)
     assert t.est_total() >= t.elapsed()
     assert isinstance(t.str_est_finish(), str)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    from dasac_tpu.core.cache import enable_compile_cache
+
+    assert enable_compile_cache("") is False
+    target = tmp_path / "xla_cache"
+    assert enable_compile_cache(str(target)) is True
+    assert target.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(target)

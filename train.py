@@ -74,6 +74,10 @@ def main(argv=None):
     if args.workers:
         cfg.TPU.LOADER_THREADS = args.workers
 
+    from dasac_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache(cfg.TPU.COMPILE_CACHE)
+
     if args.seed is not None:
         random.seed(args.seed)
         np.random.seed(args.seed)
