@@ -214,3 +214,18 @@ def test_spatial_inference_pads_non_divisible_height(tmp_path):
         agree = float(np.mean(a == bm))
         assert agree > 0.8, agree  # random-weights sub-pixel-shift flips
     assert abs(float(conf_b.sum()) - float(conf_s.sum())) < 1e-3
+
+
+def test_spatial_with_multiscale_flip(root, tmp_path):
+    """Spatial sharding composes with the multi-scale+flip protocol (the
+    internal resizes reshard under GSPMD); results match the batch path."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(0.75, 1.0), flip=True, verbose=False)
+    conf_b = engine.run_inference(model, variables, ds,
+                                  str(tmp_path / "b"), batch_size=1, **kw)
+    conf_s = engine.run_inference(model, variables, ds,
+                                  str(tmp_path / "s"), spatial=True, **kw)
+    np.testing.assert_allclose(conf_b, conf_s, atol=1e-3)
