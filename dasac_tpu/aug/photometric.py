@@ -32,12 +32,17 @@ def adjust_brightness(img, f):
     return jnp.clip(img * f, 0.0, 1.0)
 
 
-def adjust_contrast(img, f):
-    # torchvision: blend with the mean of the grayscale image
-    mean = jnp.mean(
-        jnp.tensordot(img, jnp.asarray(_GRAY, img.dtype), axes=[[-1], [0]]), axis=(-2, -1),
-        keepdims=True,
-    )[..., None]
+def adjust_contrast(img, f, valid=None):
+    # torchvision: blend with the mean of the grayscale image; ``valid``
+    # [..., H, W] restricts the mean to real pixels (excludes warp padding)
+    gray = jnp.tensordot(img, jnp.asarray(_GRAY, img.dtype), axes=[[-1], [0]])
+    if valid is None:
+        mean = jnp.mean(gray, axis=(-2, -1), keepdims=True)[..., None]
+    else:
+        v = valid.astype(img.dtype)
+        mean = (jnp.sum(gray * v, axis=(-2, -1), keepdims=True)
+                / jnp.maximum(jnp.sum(v, axis=(-2, -1), keepdims=True), 1.0)
+                )[..., None]
     return _blend(img, jnp.broadcast_to(mean, img.shape), f)
 
 
@@ -84,13 +89,15 @@ def adjust_hue(img, delta):
     return jnp.clip(_hsv_to_rgb((h + delta) % 1.0, s, v), 0.0, 1.0)
 
 
-def color_jitter(key, img, strength, hue_strength, p=0.5):
+def color_jitter(key, img, strength, hue_strength, p=0.5, valid=None):
     """torchvision ColorJitter on a batch: per-image factors, random op
     order, applied with probability ``p`` per image.
 
     Args:
         img: [B, H, W, 3] float in [0,1].
         strength: brightness/contrast/saturation range half-width.
+        valid: optional [B, H, W] bool — restricts the contrast mean to real
+            pixels (source chain, where the reference jitters pre-padding).
     """
     b = img.shape[0]
     k_apply, k_f, k_h, k_ord = jax.random.split(key, 4)
@@ -102,15 +109,17 @@ def color_jitter(key, img, strength, hue_strength, p=0.5):
         k_h, (b,), minval=-hue_strength, maxval=hue_strength)
     # random order: argsort of 4 uniforms per image
     order = jnp.argsort(jax.random.uniform(k_ord, (b, 4)), axis=-1)
+    if valid is None:
+        valid = jnp.ones(img.shape[:3], bool)
 
-    def per_image(img_i, fac_i, hue_i, order_i, apply_i):
+    def per_image(img_i, fac_i, hue_i, order_i, apply_i, valid_i):
         def body(carry, op_idx):
             x = carry
             x = jax.lax.switch(
                 op_idx,
                 [
                     lambda z: adjust_brightness(z, fac_i[0]),
-                    lambda z: adjust_contrast(z, fac_i[1]),
+                    lambda z: adjust_contrast(z, fac_i[1], valid_i),
                     lambda z: adjust_saturation(z, fac_i[2]),
                     lambda z: adjust_hue(z, hue_i),
                 ],
@@ -120,7 +129,7 @@ def color_jitter(key, img, strength, hue_strength, p=0.5):
         out, _ = jax.lax.scan(body, img_i, order_i)
         return jnp.where(apply_i, out, img_i)
 
-    return jax.vmap(per_image)(img, factors, hues, order, apply)
+    return jax.vmap(per_image)(img, factors, hues, order, apply, valid)
 
 
 def random_grayscale(key, img, p):
@@ -133,19 +142,22 @@ def random_grayscale(key, img, p):
 _BLUR_TAPS = 13  # center +- 6
 
 
-def gaussian_blur(key, img, radius_range=(0.1, 2.0)):
+def gaussian_blur(key, img, radius_range=(0.1, 2.0), valid=None):
     """Separable gaussian blur, per-image random sigma (tf_target.py:331-349:
     PIL GaussianBlur with radius ~ U[0.1, 2])."""
     b = img.shape[0]
     sigma = jax.random.uniform(
         key, (b,), minval=radius_range[0], maxval=radius_range[1])
-    return gaussian_blur_sigma(img, sigma)
+    return gaussian_blur_sigma(img, sigma, valid=valid)
 
 
-def gaussian_blur_sigma(img, sigma, taps=_BLUR_TAPS):
+def gaussian_blur_sigma(img, sigma, taps=_BLUR_TAPS, valid=None):
     """Blur with per-image sigma [B] via 2 passes of ``taps`` shifted adds.
 
-    Edge padding matches PIL's edge-extension behavior.
+    Edge padding matches PIL's edge-extension behavior.  With ``valid``
+    [B, H, W] the blur is renormalized over real pixels (blur(x*v)/blur(v)),
+    so warp padding neither bleeds black into valid pixels nor vice versa
+    (source chain: the reference blurs before RandCrop introduces padding).
     """
     half = taps // 2
     offs = jnp.arange(-half, half + 1, dtype=jnp.float32)
@@ -164,8 +176,15 @@ def gaussian_blur_sigma(img, sigma, taps=_BLUR_TAPS):
             out = out + sl * wi
         return out
 
-    out = pass_axis(img.astype(jnp.float32), 1)
+    x = img.astype(jnp.float32)
+    if valid is not None:
+        v = valid.astype(jnp.float32)[..., None]
+        x = jnp.concatenate([x * v, v], axis=-1)  # blur value+mask together
+    out = pass_axis(x, 1)
     out = pass_axis(out, 2)
+    if valid is not None:
+        out = out[..., :-1] / jnp.maximum(out[..., -1:], 1e-6)
+        out = jnp.where(valid[..., None], out, img.astype(jnp.float32))
     return out.astype(img.dtype)
 
 

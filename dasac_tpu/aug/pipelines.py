@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from dasac_tpu.aug import photometric as P
 from dasac_tpu.aug.affine import build_affine, build_affine_inv, compose
-from dasac_tpu.aug.warp import warp_affine
+from dasac_tpu.aug.warp import valid_mask_affine, warp_affine
 
 IGNORE = 255
 
@@ -69,8 +69,7 @@ def _warp_views(image, label, theta, out_hw=None):
     lbl = jnp.broadcast_to(label[None, ..., None].astype(jnp.float32),
                            (t,) + label.shape + (1,))
     lbl_w = warp_affine(lbl, theta, out_hw=out_hw, mode="nearest")[..., 0]
-    ones = jnp.ones((t,) + label.shape + (1,), jnp.float32)
-    valid = warp_affine(ones, theta, out_hw=out_hw, mode="nearest")[..., 0] > 0.5
+    valid = valid_mask_affine(theta, out_hw or label.shape, label.shape)
     labels = jnp.where(valid, lbl_w.astype(jnp.int32), IGNORE)
     return imgs, labels, valid
 
@@ -117,8 +116,6 @@ def augment_target_groups(key, images, labels, *, group_size,
     vkeys = jax.random.split(keys[4], 4)
     vflip = jnp.where(
         guided_hflip & (jax.random.uniform(vkeys[0], (g, t)) > 0.5), -1.0, 1.0)
-    if not guided_hflip:
-        vflip = jnp.ones((g, t))
     s = jax.random.uniform(vkeys[1], (g, t), minval=zoom[0], maxval=zoom[1])
     # view 0 keeps the reference frame (tf_target.py:195-196)
     s = s.at[:, 0].set(1.0)
@@ -228,10 +225,17 @@ def augment_source_batch(key, images, labels, *, crop_hw,
     frames, labels_o, valid = jax.vmap(warp_one)(
         imgs_f, labels.astype(jnp.int32), theta)
 
+    # the reference blurs/jitters BEFORE RandCrop pads (dataloader_seg.py
+    # chain), so its photometric ops never see padding; mask-aware variants
+    # keep the padded border from deflating the contrast mean or bleeding
+    # black into valid pixels.  (The target chain intentionally omits this:
+    # the reference applies target photometric AFTER the padded per-view
+    # zoom, dataloader_target.py:284-296.)
     if blur:
-        frames = P.gaussian_blur(keys[4], frames)
+        frames = P.gaussian_blur(keys[4], frames, valid=valid)
     if jitter > 0:
-        frames = P.color_jitter(keys[5], frames, jitter, min(0.1, jitter), p=0.5)
+        frames = P.color_jitter(keys[5], frames, jitter, min(0.1, jitter),
+                                p=0.5, valid=valid)
 
     vm = valid[..., None].astype(jnp.float32)
     frames = P.normalize(frames, mean, std) * vm

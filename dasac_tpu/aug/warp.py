@@ -48,9 +48,9 @@ def grid_sample(img, grid, mode="bilinear"):
     y = _unnormalize(grid[..., 1], h)
 
     if mode == "nearest":
-        # torch nearest rounds half away from... uses floor(coord + 0.5)
-        xi = jnp.floor(x + 0.5).astype(jnp.int32)
-        yi = jnp.floor(y + 0.5).astype(jnp.int32)
+        # torch nearest uses std::nearbyint = round-half-to-EVEN (jnp.round)
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xi = jnp.clip(xi, 0, w - 1)
         yi = jnp.clip(yi, 0, h - 1)
@@ -138,7 +138,8 @@ def warp_affine(img, theta, out_hw=None, mode="bilinear"):
     def axis_gather(data, src, axis, size):
         """1-D resample of ``data`` along ``axis`` at positions ``src``."""
         if mode == "nearest":
-            i = jnp.floor(src + 0.5).astype(jnp.int32)
+            # round-half-to-even, matching torch grid_sample nearest
+            i = jnp.round(src).astype(jnp.int32)
             valid = (i >= 0) & (i < size)
             ic = jnp.clip(i, 0, size - 1)
             out = _take_axis(data, ic, axis)
@@ -159,6 +160,29 @@ def warp_affine(img, theta, out_hw=None, mode="bilinear"):
     out = axis_gather(img, src_y, 1, h)       # rows:   [N,Ho,W,C]
     out = axis_gather(out, src_x, 2, w)       # cols:   [N,Ho,Wo,C]
     return out
+
+
+def valid_mask_affine(theta, out_hw, src_hw):
+    """In-bounds mask of ``warp_affine(ones, theta, mode='nearest') > 0.5``
+    for axis-aligned thetas, as the outer product of two 1-D bounds tests —
+    O(H+W) instead of a third full warp pass per view.
+
+    ``theta`` [N,2,3] axis-aligned; returns bool [N, Ho, Wo].
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    h, w = int(src_hw[0]), int(src_hw[1])
+    ax, bx = theta[:, 0, 0], theta[:, 0, 2]
+    ay, by = theta[:, 1, 1], theta[:, 1, 2]
+    xs = (2.0 * jnp.arange(ow, dtype=jnp.float32) + 1.0) / ow - 1.0
+    ys = (2.0 * jnp.arange(oh, dtype=jnp.float32) + 1.0) / oh - 1.0
+    src_x = _unnormalize(ax[:, None] * xs[None] + bx[:, None], w)
+    src_y = _unnormalize(ay[:, None] * ys[None] + by[:, None], h)
+
+    def inb(src, size):
+        i = jnp.round(src).astype(jnp.int32)  # same rounding as axis_gather
+        return (i >= 0) & (i < size)
+
+    return inb(src_y, h)[:, :, None] & inb(src_x, w)[:, None, :]
 
 
 def _take_axis(data, idx, axis):

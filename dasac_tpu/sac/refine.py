@@ -10,6 +10,7 @@ axis (SURVEY.md §2.3 "TPU-native equivalent").
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from dasac_tpu.aug.warp import warp_affine
@@ -83,9 +84,7 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     h, w = out_hw
 
     logits_up = resize_bilinear_align_corners(teacher_logits, (h, w))
-    probs = jnp.asarray(
-        jnp.exp(logits_up - jnp.max(logits_up, -1, keepdims=True)))
-    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    probs = jax.nn.softmax(logits_up, axis=-1)
     # the running-conf update consumes the PRE-masking probabilities
     # (reference order: _update_running_conf BEFORE zeroing padded pixels,
     # sac.py:277-282) — masking first would deflate every class mean on

@@ -206,3 +206,44 @@ def test_source_scale_one_is_identity_crop():
                          (0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
     np.testing.assert_allclose(np.asarray(frames[0]), np.asarray(expect),
                                atol=2e-2)
+
+
+def test_masked_photometric_ignores_padding():
+    """Contrast mean and blur must not be polluted by warp padding when a
+    validity mask is provided (the reference's source chain blurs/jitters
+    BEFORE RandCrop pads — dataloader_seg.py)."""
+    import numpy as np
+    from dasac_tpu.aug import photometric as P
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 16, 20, 3).astype(np.float32)
+    valid = np.ones((2, 16, 20), bool)
+    valid[:, :, 12:] = False          # right band = padding
+    padded = img * valid[..., None]   # zeros in the pad, like the warp output
+
+    # contrast: masked mean over the padded image == plain mean over the
+    # valid crop alone
+    f = 1.7
+    crop = img[:, :, :12]
+    want = np.asarray(P.adjust_contrast(jnp.asarray(crop), f))
+    got = np.asarray(P.adjust_contrast(jnp.asarray(padded), f,
+                                       jnp.asarray(valid)))[:, :, :12]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # blur: away from the pad boundary the masked blur equals the plain blur
+    # of the unpadded content; at the boundary it must NOT darken (the
+    # unmasked blur bleeds black in)
+    sigma = jnp.asarray([1.0, 1.5])
+    plain_full = np.asarray(P.gaussian_blur_sigma(jnp.asarray(img), sigma))
+    masked = np.asarray(P.gaussian_blur_sigma(jnp.asarray(padded), sigma,
+                                              valid=jnp.asarray(valid)))
+    unmasked = np.asarray(P.gaussian_blur_sigma(jnp.asarray(padded), sigma))
+    interior = masked[:, :, :5]       # >6 taps away from the pad edge
+    np.testing.assert_allclose(interior, plain_full[:, :, :5], atol=1e-5)
+    # boundary column: unmasked blur is darkened by the zero pad; masked not
+    edge_masked = masked[:, :, 11].mean()
+    edge_unmasked = unmasked[:, :, 11].mean()
+    assert edge_masked > edge_unmasked + 0.01
+    # padding itself is left untouched (callers zero it after normalize)
+    np.testing.assert_allclose(masked[:, :, 12:], padded[:, :, 12:],
+                               atol=1e-6)

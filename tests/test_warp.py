@@ -105,3 +105,24 @@ def test_warp_unwarp_roundtrip():
     c_ref = img[0][16:48, 16:48]
     c_back = ours[16:48, 16:48]
     assert np.abs(c_ref - c_back).mean() < 0.05
+
+
+def test_valid_mask_affine_equals_ones_warp():
+    """The O(H+W) outer-product mask must reproduce nearest-warping a ones
+    tensor exactly (same rounding, same bounds) for axis-aligned thetas."""
+    import numpy as np
+    from dasac_tpu.aug.warp import valid_mask_affine, warp_affine
+
+    rng = np.random.RandomState(3)
+    t = 6
+    theta = np.zeros((t, 2, 3), np.float32)
+    theta[:, 0, 0] = rng.uniform(-2.0, 2.0, t)  # incl. flips + zoom-out
+    theta[:, 1, 1] = rng.uniform(0.3, 2.0, t)
+    theta[:, 0, 2] = rng.uniform(-1.0, 1.0, t)
+    theta[:, 1, 2] = rng.uniform(-1.0, 1.0, t)
+    h, w = 17, 23
+    ones = jnp.ones((t, h, w, 1), jnp.float32)
+    ref = np.asarray(
+        warp_affine(ones, jnp.asarray(theta), mode="nearest")[..., 0]) > 0.5
+    got = np.asarray(valid_mask_affine(jnp.asarray(theta), (h, w), (h, w)))
+    np.testing.assert_array_equal(got, ref)
