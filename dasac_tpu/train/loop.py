@@ -18,7 +18,7 @@ from dasac_tpu.nn import convert
 from dasac_tpu.nn.factory import build_model, compute_dtype
 from dasac_tpu.train import optim as optim_lib
 from dasac_tpu.train import steps as steps_lib
-from dasac_tpu.train.checkpoints import BestTracker, Checkpointer
+from dasac_tpu.train.checkpoints import BestTracker, Checkpointer, NullTx
 from dasac_tpu.train.metrics import StatManager, summarise
 from dasac_tpu.utils.logging import ScalarWriter
 from dasac_tpu.utils.timer import Timer
@@ -76,8 +76,10 @@ class Trainer:
         sample_hw = tuple(cfg.DATASET.CROP_SIZE)
         self.scfg = steps_lib.step_config_from_cfg(cfg)._replace(
             num_classes=self.nclass)
+        # two-phase init: params must exist before the multi_transform
+        # labels can be built, so start with the load-only NullTx
         state = create_train_state(
-            self.model, _TxLazy(), self.nclass, (*sample_hw, 3),
+            self.model, NullTx(), self.nclass, (*sample_hw, 3),
             rng=jax.random.PRNGKey(self.seed))
         self.tx, _ = optim_lib.build_optimizer(cfg.MODEL, self.arch,
                                                state.params)
@@ -147,14 +149,13 @@ class Trainer:
             self.eval_step = steps_lib.shard_eval_step(
                 steps_lib.make_eval_step(self.model, self.scfg, axis),
                 self.mesh)
-            self.eval_step_teacher = steps_lib.shard_eval_step(
-                steps_lib.make_eval_step(self.model, self.scfg, axis,
-                                         teacher=True), self.mesh)
         else:
             self.eval_step = jax.jit(
                 steps_lib.make_eval_step(self.model, self.scfg))
-            self.eval_step_teacher = jax.jit(
-                steps_lib.make_eval_step(self.model, self.scfg, teacher=True))
+        # plain-jit eval over full (replicated) batches — used by the target
+        # validations, which run unsharded on every host
+        self.eval_step_local = jax.jit(
+            steps_lib.make_eval_step(self.model, self.scfg))
         self.target_eval_step = jax.jit(
             steps_lib.make_target_eval_step(self.model, self.scfg))
         self.visual_step = jax.jit(
@@ -256,8 +257,7 @@ class Trainer:
 
     # ------------------------------------------------------------- validation
 
-    def validation(self, epoch, split, max_batches=None, use_teacher=False,
-                   target_mode=False):
+    def validation(self, epoch, split, max_batches=None, target_mode=False):
         """Returns the best layer's mIoU on the split (reference
         train.py:339-469)."""
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
@@ -274,20 +274,16 @@ class Trainer:
         loader = self.loaders.val_loader(split, batch_size=bs,
                                          max_batches=max_batches)
         conf = None
-        step = self.eval_step_teacher if use_teacher else self.eval_step
         first_batch = None
         for imgs, lbls in loader:
             if first_batch is None:
                 first_batch = (imgs, lbls)
-            batch = (imgs, lbls.astype(np.int32))
-            if self.sharded:
-                batch = shard_batch(self.mesh, batch)
-            else:
-                batch = jax.tree.map(jnp.asarray, batch)
-            c = step(self.state, *batch)
+            c = self.eval_step(
+                self.state, *self._place((imgs, lbls.astype(np.int32))))
             conf = c if conf is None else conf + c
-        if first_batch is not None:
-            self._visualise_val(writer, split, first_batch, epoch)
+        if conf is None:  # empty split / max_batches == 0
+            return 0.0
+        self._visualise_val(writer, split, first_batch, epoch)
         return self._publish(writer, "logits_up", np.asarray(conf), epoch,
                              ignore)
 
@@ -307,26 +303,43 @@ class Trainer:
         writer.add_image("{}/panel".format(split), panel, epoch)
 
     def _validation_target(self, epoch, max_batches):
+        """Target-train-split validation (reference train.py:510-512, every
+        LOG.ITER_TARGET epochs).  SAC: the four teacher/student layers via
+        target_eval_step.  ABN baseline: a plain forward (the reference's
+        step_target is ``step(train=False)``), publishing logits_up only."""
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
+        baseline = self.cfg.MODEL.BASELINE
         epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
-        # full (unsharded) batches on every host: the target eval step is a
-        # plain jit, so each process must see the whole group batch and a
+        # full (unsharded) batches on every host: the target eval steps are
+        # plain jits, so each process must see the whole group batch and a
         # host-local copy of the (replicated) state
         local_state = self._host_local_state()
         _, tgt_loader = self.loaders.train_loaders(epoch, replicated_eval=True)
         confs = None
+        first_batch = None
         for bi, (imgs, lbls) in enumerate(tgt_loader):
             if max_batches and bi >= max_batches:
                 break
             if bi == 0:
+                first_batch = (imgs, lbls)
                 self.fixed.save("train_target", (imgs, lbls))
-            c = self.target_eval_step(
-                local_state, jnp.asarray(imgs),
-                jnp.asarray(lbls.astype(np.int32)),
-                jax.random.fold_in(epoch_key, bi))
+            if baseline:
+                c = {"logits_up": self.eval_step_local(
+                    local_state, jnp.asarray(imgs),
+                    jnp.asarray(lbls.astype(np.int32)))}
+            else:
+                c = self.target_eval_step(
+                    local_state, jnp.asarray(imgs),
+                    jnp.asarray(lbls.astype(np.int32)),
+                    jax.random.fold_in(epoch_key, bi))
             confs = c if confs is None else jax.tree.map(
                 lambda a, b: a + b, confs, c)
-        self._visualise_target(epoch)
+        if baseline:
+            if first_batch is not None:  # input/GT/pred panel, like val sets
+                self._visualise_val(self.writer_target, "train_target",
+                                    first_batch, epoch)
+        else:
+            self._visualise_target(epoch)
         if confs is None:  # empty loader / max_batches == 0
             return 0.0
         best = 0.0
@@ -381,8 +394,9 @@ class Trainer:
         log_target = cfg.LOG.ITER_TARGET
         for epoch in range(self.start_epoch, num_epochs + 1):
             print("Epoch >>> {:02d} <<<".format(epoch))
-            if epoch > self.start_epoch and epoch % log_target == 0 \
-                    and not cfg.MODEL.BASELINE:
+            # target-split validation runs for BOTH modes (the reference's
+            # baseline uses step_target = step(train=False), train.py:115)
+            if epoch > self.start_epoch and epoch % log_target == 0:
                 self.validation(epoch, cfg.TRAIN.TARGET, max_batches=300,
                                 target_mode=True)
             if epoch > self.start_epoch and epoch % log_val == 0:
@@ -421,9 +435,3 @@ def _auto_mesh_size(available, batch_size, num_groups):
     return max(1, n)
 
 
-class _TxLazy:
-    """Placeholder optimizer for two-phase state init (params must exist
-    before the multi_transform labels can be built)."""
-
-    def init(self, params):
-        return ()

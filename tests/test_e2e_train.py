@@ -52,10 +52,19 @@ def test_cli_sac_training_end_to_end(synth_root, tmp_path):
 
 def test_cli_abn_training_end_to_end(synth_root, tmp_path):
     _run_train(synth_root, tmp_path,
-               extra=["MODEL.BASELINE", "True", "LOG.ITER_VAL", "2"])
+               extra=["MODEL.BASELINE", "True", "LOG.ITER_VAL", "2",
+                      "LOG.ITER_TARGET", "2"])
     ev = glob.glob(str(tmp_path / "logs" / "**" / "events.jsonl"),
                    recursive=True)
     assert ev
+    # the baseline runs target-split validation too (reference
+    # train.py:510-512 with step_target = step(train=False)): the
+    # train_target writer must carry a logits_up mIoU scalar
+    tt = [p for p in ev if os.sep + "train_target" + os.sep in p]
+    assert tt, ev
+    with open(tt[0]) as f:
+        tags = [line for line in f if "logits_up_all/mIoU" in line]
+    assert tags, "no target-split mIoU published for the ABN baseline"
 
 
 def test_cli_sac_training_sharded_mesh(synth_root, tmp_path):
