@@ -21,7 +21,7 @@ def add_global_arguments(parser):
                         help="path where to save masks")
     parser.add_argument("--split", type=str, default=None,
                         help="[train|val|test] split to use")
-    parser.add_argument("--workers", type=int, default=8, metavar="N",
+    parser.add_argument("--workers", type=int, default=None, metavar="N",
                         help="host decode threads")
     parser.add_argument("--dataloader", type=str, default=None,
                         help="Specifies dataloader to use.")
@@ -43,7 +43,7 @@ def add_global_arguments(parser):
                         help="Set config keys: KEY VALUE [KEY VALUE ...]")
 
 
-def get_arguments(args_in, for_inference=False):
+def get_arguments(args_in):
     parser = argparse.ArgumentParser(description="dasac_tpu")
     add_global_arguments(parser)
     args = parser.parse_args(args_in)

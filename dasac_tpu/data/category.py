@@ -80,11 +80,7 @@ def cs_to_trainid_table():
 
 def train_palette():
     """Flat RGB palette [768] for paletted PNG export: index = trainId."""
-    palette = np.zeros((256, 3), dtype=np.uint8)
-    for l in LABELS:
-        if l.trainId != 255:
-            palette[l.trainId] = l.color
-    return palette.reshape(-1)
+    return color_table().reshape(-1)
 
 
 def color_table():

@@ -83,9 +83,11 @@ class Loaders:
         self.class_names = get_class_names()
         root = cfg.DATASET.ROOT
         task = cfg.TRAIN.TASK
-        threads = cfg.TPU.LOADER_THREADS
-        prefetch = cfg.TPU.PREFETCH
         crop = tuple(cfg.DATASET.CROP_SIZE)
+
+        from dasac_tpu.data import native
+
+        native.set_enabled(cfg.TPU.NATIVE_LOADER)
 
         # ---- source train ---------------------------------------------------
         src_imgs, src_msks = lists.read_split(root, task)
@@ -131,15 +133,21 @@ class Loaders:
         return max(1, self.cfg.TRAIN.BATCH_SIZE)
 
     def target_batch_size(self):
-        if self.cfg.MODEL.BASELINE:
-            return max(1, self.cfg.TRAIN.NUM_GROUPS)
+        # same for SAC and the ABN baseline (datasets/__init__.py:64)
         return max(1, self.cfg.TRAIN.NUM_GROUPS)
 
     def steps_per_epoch(self):
         """zip() semantics over GLOBAL batch sizes (train.py:266)."""
         n_src = len(self.source) // self.source_batch_size()
         n_tgt = len(self.target) // self.target_batch_size()
-        return max(1, min(n_src, n_tgt))
+        steps = min(n_src, n_tgt)
+        if steps == 0:
+            raise ValueError(
+                "split smaller than one global batch: {} source / {} target "
+                "samples vs batch sizes {}/{}".format(
+                    len(self.source), len(self.target),
+                    self.source_batch_size(), self.target_batch_size()))
+        return steps
 
     def train_loaders(self, epoch, replicated_eval=False):
         cfg = self.cfg
@@ -165,9 +173,12 @@ class Loaders:
             host_loader.make_plain_index_fn(s_sampler.indices(), bs_src),
             threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
 
+        # distinct stream constant: seed+1 would collide with the source
+        # sampler at epoch+1 (both datasets share a length after
+        # set_num_samples, so the permutations would be identical)
         t_sampler = sampler.EpochSampler(
             len(self.target), num_replicas=reps, rank=rank,
-            shuffle=True, seed=self.seed + 1, drop_last=True)
+            shuffle=True, seed=self.seed + 1_000_003, drop_last=True)
         t_sampler.set_epoch(epoch)
         if self.importance is not None:
             index_fn = host_loader.make_importance_index_fn(

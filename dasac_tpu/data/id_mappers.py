@@ -91,12 +91,24 @@ class SynthiaMapper(_LUTMapper):
 
     @classmethod
     def read(cls, filepath):
-        # SYNTHIA ground truth is 16-bit RGB PNG; class id lives in channel 0
-        # (reference reads it via imageio FreeImage: tools/id_mappers.py:75-77)
-        arr = np.asarray(Image.open(filepath))
+        # SYNTHIA ground truth is 16-bit RGB PNG; the class id is the VALUE
+        # of channel 0 (reference reads it via imageio FreeImage:
+        # tools/id_mappers.py:75-77).  Pillow truncates 16-bit channels to
+        # the HIGH byte (every id 1..255 -> 0 -> all-ignore masks), so
+        # 16-bit files go through the real 16-bit decoder.
+        with open(filepath, "rb") as f:
+            header = f.read(25)
+        # IHDR bit-depth byte sits at offset 24 (8 sig + 8 chunk head + 8 w/h)
+        if header[:8] == b"\x89PNG\r\n\x1a\n" and len(header) == 25 \
+                and header[24] == 16:
+            from dasac_tpu.data.png16 import read_png16
+
+            arr = read_png16(filepath)
+        else:
+            arr = np.asarray(Image.open(filepath))
         if arr.ndim == 3:
             arr = arr[:, :, 0]
-        return arr.astype(np.uint8)
+        return np.clip(arr, 0, 255).astype(np.uint8)
 
 
 def get_mapper(dataname):

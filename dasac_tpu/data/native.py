@@ -61,8 +61,17 @@ def get_lib():
     return _lib
 
 
+_enabled = True
+
+
+def set_enabled(flag):
+    """Gate the native decoder (cfg TPU.NATIVE_LOADER); PIL path otherwise."""
+    global _enabled
+    _enabled = bool(flag)
+
+
 def available():
-    return get_lib() is not None
+    return _enabled and get_lib() is not None
 
 
 def _as_u8_ptr(arr):
@@ -71,6 +80,8 @@ def _as_u8_ptr(arr):
 
 def decode_pair(img_path, mask_path, out_hw, mask_fill=255):
     """Decode+resize one pair natively; returns (img, mask) or None."""
+    if not _enabled:
+        return None
     lib = get_lib()
     if lib is None:
         return None

@@ -50,7 +50,13 @@ def load_sample_weights(path):
     Accepts our pickle format and the reference's torch.save format
     (compute_IS_weights.py:97 uses torch.save).
     """
-    if not path or not os.path.isfile(path):
+    if not path:
+        return None
+    if not os.path.isfile(path):
+        # loud, like the reference (dataloader_target.py:88): a typo'd path
+        # silently degrading to uniform sampling is hard to notice
+        print("Path to sample weights NOT found: {} -- falling back to "
+              "uniform class sampling".format(path))
         return None
     try:
         with open(path, "rb") as f:

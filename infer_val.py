@@ -84,7 +84,7 @@ def main(argv=None):
         model, variables, dataset, args.mask_output_dir,
         mean=tuple(cfg.DATASET.MEAN), std=tuple(cfg.DATASET.STD),
         num_classes=num_classes, scales=tuple(args.scales), flip=args.flip,
-        save_raw=args.save_raw, vis=args.vis, workers=args.workers,
+        save_raw=args.save_raw, vis=args.vis, workers=args.workers or 4,
         spatial=args.spatial)
 
     if conf is not None:

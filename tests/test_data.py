@@ -154,3 +154,35 @@ def test_pil_palette_mask_fallback(tmp_path):
     # mode="native" skips the C++ decoder -> exercises the PIL path
     _, nm = host_loader._load_pair(ip, fp, None, "native")
     np.testing.assert_array_equal(nm, mask)
+
+
+def test_native_loader_gate():
+    """TPU.NATIVE_LOADER gates the C++ decoder (config key was previously a
+    silent no-op)."""
+    from dasac_tpu.data import native
+
+    before = native.available()
+    try:
+        native.set_enabled(False)
+        assert native.available() is False
+        assert native.decode_pair("x.png", None, (8, 8)) is None
+    finally:
+        native.set_enabled(True)
+    assert native.available() == before
+
+
+def test_target_sampler_stream_independent(root):
+    """The target shuffle at epoch e must differ from the source shuffle at
+    epoch e+1 (seed+1 collided: same length after set_num_samples)."""
+    from dasac_tpu.data import sampler
+
+    n, seed = 6, 0
+    src = sampler.EpochSampler(n, shuffle=True, seed=seed)
+    tgt = sampler.EpochSampler(n, shuffle=True, seed=seed + 1_000_003)
+    collisions = 0
+    for e in range(6):
+        tgt.set_epoch(e)
+        src.set_epoch(e + 1)
+        if np.array_equal(tgt.indices(), src.indices()):
+            collisions += 1
+    assert collisions == 0
