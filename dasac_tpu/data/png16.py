@@ -22,7 +22,7 @@ def read_png16(path):
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG: %s" % path)
-    pos, width = 8, None
+    pos, width, height, channels = 8, None, None, None
     idat = []
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
@@ -44,7 +44,7 @@ def read_png16(path):
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if width is None or not idat:
+    if width is None or height is None or channels is None or not idat:
         raise ValueError("truncated PNG: %s" % path)
 
     raw = zlib.decompress(b"".join(idat))
@@ -65,12 +65,15 @@ def read_png16(path):
             cur = (row + prev) & 0xFF
         else:
             # Sub/Average/Paeth depend on the previous PIXEL: sequential
-            # per-byte scan (rare in practice for GT masks)
+            # per-byte scan (rare in practice for GT masks).  Python-int
+            # arithmetic throughout: the Paeth predictor a + b - c must be
+            # allowed to go negative (uint16 wrap-around picks the wrong
+            # neighbour and corrupts every later byte of the row).
             cur = np.zeros(stride, np.uint16)
             for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -82,7 +85,7 @@ def read_png16(path):
                         (b if pb <= pc else c)
                 else:
                     raise ValueError("bad PNG filter %d: %s" % (ftype, path))
-                cur[i] = (row[i] + pred) & 0xFF
+                cur[i] = (int(row[i]) + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
         prev = cur
 

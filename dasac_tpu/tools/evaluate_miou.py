@@ -67,11 +67,14 @@ def _index_gt(gt_dir):
 
 
 def _read_mask(path):
+    """Native-dtype read: no uint8 cast here — 16-bit values (e.g. 256 from
+    an I/I;16 PNG matched by the plain-PNG fallback) must survive to the
+    out-of-range validation instead of wrapping into valid class ids."""
     img = Image.open(path)
     mode = img.mode
     if mode not in ("L", "P", "I", "I;16"):
         img = img.convert("L")
-    return np.asarray(img).astype(np.uint8), mode
+    return np.asarray(img), mode
 
 
 def _detect_format(arr, png_mode, pred_dir):
@@ -117,15 +120,24 @@ def evaluate_dirs(pred_dir, gt_dir, pred_format="auto", gt_format="auto",
             continue
         matched += 1
         pred, png_mode = _read_mask(p)
-        gt = _read_mask(gt_path)[0]
+        gt = _read_mask(gt_path)[0].astype(np.int64)
         if gt_format == "labelid":
-            gt = lut[gt]
+            if gt.max(initial=0) > 255:
+                raise ValueError(
+                    "%s holds values above 255 (e.g. %d) — not Cityscapes "
+                    "labelIds" % (gt_path, int(gt.max())))
+            gt = lut[gt].astype(np.int64)
         if pred_format == "auto":
             # decide ONCE, from the first matched file, so one run never
             # mixes interpretations across frames
             pred_format = _detect_format(pred, png_mode, pred_dir)
+        pred = pred.astype(np.int64)
         if pred_format == "labelid":
-            pred = lut[pred]
+            if pred.max(initial=0) > 255:
+                raise ValueError(
+                    "%s holds values above 255 (e.g. %d) — not Cityscapes "
+                    "labelIds" % (p, int(pred.max())))
+            pred = lut[pred].astype(np.int64)
         assert pred.shape == gt.shape, (p, pred.shape, gt_path, gt.shape)
         valid = gt != IGNORE_LABEL
         bad = valid & (gt >= num_classes)
@@ -134,7 +146,7 @@ def evaluate_dirs(pred_dir, gt_dir, pred_format="auto", gt_format="auto",
                 "%s holds values outside the trainId range (e.g. %d) — "
                 "if the ground truth is Cityscapes labelIds, pass "
                 "--gt-format labelid" % (gt_path, int(gt[bad][0])))
-        pred_c = np.minimum(pred, num_classes).astype(np.int64)
+        pred_c = np.minimum(pred, num_classes)
         idx = gt[valid].astype(np.int64) * width + pred_c[valid]
         conf += np.bincount(idx, minlength=width * width).reshape(width, width)
         if verbose and (i + 1) % 100 == 0:

@@ -132,3 +132,19 @@ def test_cli_json_roundtrip(tmp_path):
         payload = json.load(f)
     assert payload["images"] == 1
     assert 0.0 < payload["mean_iou"] < 1.0
+
+
+def test_16bit_gt_values_fail_loud_not_wrap(tmp_path):
+    """Regression: _read_mask used to cast to uint8 BEFORE validation, so a
+    16-bit GT value of 256 wrapped to trainId 0 and silently polluted the
+    confusion matrix instead of raising the loud format error."""
+    gt = np.zeros((H, W), np.int32)
+    gt[0, 0] = 256               # out of trainId range only at 16-bit width
+    os.makedirs(str(tmp_path / "gt"), exist_ok=True)
+    Image.fromarray(gt, mode="I").save(
+        str(tmp_path / "gt" / "cityE_000004_000019.png"))
+    _write_pred_trainid(str(tmp_path / "pred"), "cityE_000004_000019",
+                        _pred_trainids())
+    with pytest.raises(ValueError, match="trainId range"):
+        EM.evaluate_dirs(str(tmp_path / "pred"), str(tmp_path / "gt"),
+                         pred_format="trainid")

@@ -20,12 +20,19 @@ def _chunk(ctype, body):
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
 
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
 def _write_png16(path, values, color_type=2, filters=None):
     """values uint16 [H, W, C]; per-row filter types (default all 0)."""
     h, w, c = values.shape
     filters = filters or [0] * h
     be = values.astype(">u2").tobytes()
     stride = w * c * 2
+    bpp = c * 2
     raw = bytearray()
     prev = b"\x00" * stride
     for y in range(h):
@@ -34,8 +41,20 @@ def _write_png16(path, values, color_type=2, filters=None):
         raw.append(f)
         if f == 0:
             raw += row
+        elif f == 1:  # Sub
+            raw += bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                         for i in range(stride))
         elif f == 2:  # Up
             raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            raw += bytes((row[i] - ((row[i - bpp] if i >= bpp else 0)
+                                    + prev[i]) // 2) & 0xFF
+                         for i in range(stride))
+        elif f == 4:  # Paeth
+            raw += bytes((row[i] - _paeth(row[i - bpp] if i >= bpp else 0,
+                                          prev[i],
+                                          prev[i - bpp] if i >= bpp else 0))
+                         & 0xFF for i in range(stride))
         else:
             raise NotImplementedError(f)
         prev = row
@@ -53,6 +72,36 @@ def test_read_png16_roundtrip(tmp_path):
     _write_png16(p, vals, filters=[0, 2, 0, 2, 2, 0])
     got = read_png16(p)
     np.testing.assert_array_equal(got, vals)
+
+
+@pytest.mark.parametrize("ftype", [1, 3, 4])
+def test_read_png16_roundtrip_pixel_filters(tmp_path, ftype):
+    """Sub/Average/Paeth rows (regression: uint16 wrap-around in the Paeth
+    predictor a + b - c corrupted decoded pixels, e.g. 0x2233 -> 0x2133)."""
+    rng = np.random.RandomState(ftype)
+    vals = rng.randint(0, 2**16, (7, 6, 3)).astype(np.uint16)
+    p = str(tmp_path / "m.png")
+    _write_png16(p, vals, filters=[0, ftype, ftype, 2, ftype, 1, ftype])
+    np.testing.assert_array_equal(read_png16(p), vals)
+
+
+def test_read_png16_paeth_wraparound_case(tmp_path):
+    # a + b < c in byte space forces the predictor negative: the exact
+    # pattern that wrapped under uint16 arithmetic and mis-picked a neighbour
+    vals = np.array([[[0x0001], [0xFF00]],
+                     [[0x2233], [0x0102]]], np.uint16)
+    p = str(tmp_path / "m.png")
+    _write_png16(p, vals, color_type=0, filters=[0, 4])
+    np.testing.assert_array_equal(read_png16(p), vals[..., 0])
+
+
+def test_read_png16_idat_before_ihdr_is_value_error(tmp_path):
+    p = str(tmp_path / "bad.png")
+    with open(p, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n" + _chunk(b"IDAT", zlib.compress(b"\x00"))
+                 + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        read_png16(p)
 
 
 def test_synthia_mapper_reads_true_16bit_ids(tmp_path):
