@@ -137,6 +137,7 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
     The returned function is the PER-SHARD body: wrap with shard_map (batch
     sharded over 'data', state replicated) or jit directly for one device.
     """
+    views_step = make_sac_views_step(model, tx, scfg, axis_name)
 
     def step(state, batch, rng):
         src_images, src_labels, tgt_images, tgt_labels = batch
@@ -156,7 +157,28 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             group_hflip=scfg.group_hflip, guided_hflip=scfg.guided_hflip,
             blur=scfg.tgt_blur, jitter=scfg.tgt_jitter,
             greyscale=scfg.tgt_greyscale, mean=scfg.mean, std=scfg.std)
+        return views_step(state, src_frames, src_lbls, views, rng)
 
+    return step
+
+
+def make_sac_views_step(model, tx, scfg: StepConfig,
+                        axis_name: Optional[str] = None, debug: bool = False):
+    """The SAC iteration on PRE-AUGMENTED inputs.
+
+    ``views_step(state, src_frames, src_lbls, views, rng)`` with
+    ``src_frames`` already normalized/cropped and ``views`` a
+    :class:`~dasac_tpu.aug.pipelines.TargetViews`.  This is the exact body
+    `make_sac_step` runs after device-side augmentation — exposed so the
+    training-step parity test can feed both this step and the reference's
+    torch ``SAC.forward`` (models/sac.py:315-378) identical views.
+
+    With ``debug=True`` the metrics dict additionally carries the
+    pseudo-labels, teacher confidence, refined probabilities and raw summed
+    gradients (never pmean'd — single-device verification only).
+    """
+
+    def views_step(state, src_frames, src_lbls, views, rng):
         # ---- teacher EMA / lazy init (sac.py:70-102, train.py:294) --------
         # the reference's per-epoch counter updates at iteration 0 of every
         # epoch, so the teacher is initialized on the very first SAC step
@@ -257,9 +279,13 @@ def make_sac_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             # sac.py:360-368) — published as per-class TB scalars
             "self_ce_per_class": per_class,
         }, axis_name)
+        if debug:
+            metrics = dict(metrics)
+            metrics.update(pseudo=pseudo, conf=conf, refined=refined,
+                           running_conf=running_conf, grads=grads)
         return new_state, metrics
 
-    return step
+    return views_step
 
 
 # ---------------------------------------------------------------------------
