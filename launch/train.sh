@@ -63,6 +63,10 @@ mkdir -p "$LOG_DIR"
 
 CMD="python train.py --dataloader $DS --cfg $CFG --exp $EXP --run $EXP_ID $RESUME_OPT --set $SETS"
 echo "$CMD"
+if [ -n "$DRYRUN" ]; then
+  # test hook: print the dispatched command without launching
+  exit 0
+fi
 echo "Logging to: $LOG_FILE"
 nohup $CMD > "$LOG_FILE" 2>&1 &
 sleep 1
