@@ -5,13 +5,23 @@ back to the reference's torch state_dict keys (``module.backbone.*`` student,
 ``module.slow_net.*`` EMA teacher, ``module.running_conf`` / ``module.
 slow_init`` buffers — reference models/sac.py:41-63) and wrapped in the
 reference's snapshot container ``{"model", "opt", "score", "epoch"}``
-(reference utils/checkpoints.py:68-71, ``opt`` left empty).  A model trained
-here can then run inside the original torch stack (its infer_val.py loads
-snapshots with strict=False) — full interop both ways.
+(reference utils/checkpoints.py:68-71).  A model trained here can then run
+inside the original torch stack — full interop both ways.
+
+With ``--cfg`` the SGD momentum buffers are also exported into ``opt`` in
+torch's positional param-group format (the exact 4-group member order of
+``BaseNet.parameter_groups``, models/basenet.py:102-139), so the
+reference-side TRAINING resume (``opt.load_state_dict(data["opt"])``,
+utils/checkpoints.py:54) continues with our momentum instead of restarting
+it.  Without ``--cfg`` (or with a non-momentum optimizer) ``opt`` stays
+``{}`` — sufficient for reference-side inference (infer_val.py never builds
+an optimizer) but NOT for reference-side training resume, whose
+``load_state_dict`` rejects an empty dict.
 
 Usage:
   python -m dasac_tpu.tools.export_torch --resume snapshots/.../best.ckpt \
-      --arch deeplabv2_resnet101 --out model.pth
+      --arch deeplabv2_resnet101 --out model.pth \
+      [--cfg configs/deeplabv2_resnet101_train.yaml]
 """
 
 import argparse
@@ -63,9 +73,87 @@ def export_variables(variables, arch):
     return sd
 
 
-def export_snapshot(state, arch, score=0.0, epoch=0):
+def _extract_momentum(opt_state):
+    """Collect every optax TraceState leaf keyed by the 'a/b/c' param path.
+
+    Works through chain/masked/multi_transform wrappers: masked-out leaves
+    are MaskedNode pytree nodes with no children, so flattening each trace
+    yields only that group's real buffers; the union covers every param
+    exactly once."""
+    import jax
+    import optax
+
+    traces = []
+
+    def walk(obj):
+        if isinstance(obj, optax.TraceState):
+            traces.append(obj.trace)
+        elif isinstance(obj, (tuple, list)):
+            for o in obj:
+                walk(o)
+        elif isinstance(obj, dict):
+            for o in obj.values():
+                walk(o)
+
+    walk(opt_state)
+    flat = {}
+    for tr in traces:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tr)[0]:
+            flat["/".join(str(getattr(k, "key", k)) for k in path)] = leaf
+    return flat
+
+
+def export_opt_state(state, arch, model_cfg):
+    """torch.optim.SGD ``state_dict()`` with our momentum buffers.
+
+    Parameter ids are positional across the reference's 4 param groups
+    (torch_param_groups.PARAM_GROUPS order); hyperparameters reproduce
+    base_trainer.py:47-58 + basenet.py:105-110 (2x bias LR, decay-free
+    biases).  Returns {} when the optimizer carries no momentum traces.
+    """
+    import torch
+
+    from dasac_tpu.tools.torch_param_groups import PARAM_GROUPS
+    from dasac_tpu.train.optim import GROUPS, lr_multipliers
+
+    flat = _extract_momentum(state.opt_state)
+    if not flat:
+        return {}
+    kmap = convert.key_map(arch, "reference")
+    mults = lr_multipliers(arch)
+    base_lr, wd = model_cfg.LR, model_cfg.WEIGHT_DECAY
+    opt_st, param_groups, idx = {}, [], 0
+    for gname, keys in zip(GROUPS, PARAM_GROUPS[arch]):
+        ids = []
+        for tkey in keys:
+            coll, path, kind = kmap[tkey]
+            leaf = flat.get("/".join(path))
+            if leaf is None:
+                raise KeyError("no momentum trace for %s (flax %r)"
+                               % (tkey, path))
+            arr = np.asarray(leaf, np.float32)
+            if kind == "conv":
+                arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+            opt_st[idx] = {"momentum_buffer": torch.from_numpy(
+                np.array(arr, np.float32, order="C"))}
+            ids.append(idx)
+            idx += 1
+        param_groups.append({
+            "lr": base_lr * mults[gname],
+            "momentum": float(model_cfg.MOMENTUM),
+            "dampening": 0,
+            "weight_decay": 0.0 if gname.endswith("_b") else wd,
+            "nesterov": bool(model_cfg.OPT_NESTEROV),
+            "maximize": False,
+            "params": ids,
+        })
+    return {"state": opt_st, "param_groups": param_groups}
+
+
+def export_snapshot(state, arch, score=0.0, epoch=0, model_cfg=None):
     """TrainState -> the reference's snapshot dict (student + teacher +
-    algorithm buffers, DDP 'module.' prefix included)."""
+    algorithm buffers, DDP 'module.' prefix included).  With ``model_cfg``
+    (a MODEL config section) the SGD momentum buffers go into ``opt``."""
     import torch
 
     model = {}
@@ -78,7 +166,8 @@ def export_snapshot(state, arch, score=0.0, epoch=0):
         np.array(state.running_conf, np.float32))
     model["module.slow_init"] = torch.from_numpy(
         np.array(state.slow_init, np.float32).reshape(1))
-    return {"model": model, "opt": {}, "score": float(score),
+    opt = export_opt_state(state, arch, model_cfg) if model_cfg else {}
+    return {"model": model, "opt": opt, "score": float(score),
             "epoch": int(epoch)}
 
 
@@ -90,6 +179,9 @@ def main(argv=None):
                              "fcn_vgg16_bn"])
     ap.add_argument("--out", required=True, help="output .pth path")
     ap.add_argument("--num-classes", type=int, default=19)
+    ap.add_argument("--cfg", default=None,
+                    help="training config: rebuilds the optimizer so the "
+                         "checkpoint's SGD momentum exports into 'opt'")
     args = ap.parse_args(argv)
 
     import jax
@@ -101,13 +193,24 @@ def main(argv=None):
     from dasac_tpu.train.checkpoints import Checkpointer, NullTx
 
     model = build_model(args.arch, args.num_classes, dtype=jnp.float32)
+    model_cfg = None
+    if args.cfg:
+        from dasac_tpu.core.config import cfg, cfg_from_file
+
+        cfg_from_file(args.cfg)
+        model_cfg = cfg.MODEL
     state = create_train_state(model, NullTx(), args.num_classes,
                                (64, 64, 3), rng=jax.random.PRNGKey(0))
+    if model_cfg is not None:
+        from dasac_tpu.train.optim import build_optimizer
+
+        tx, _ = build_optimizer(model_cfg, args.arch, state.params)
+        state = state.replace(opt_state=tx.init(state.params))
     ckpt = Checkpointer(None)
     ckpt.arch = args.arch
     state, epoch, score = ckpt.load(args.resume, state)
     snap = export_snapshot(state, args.arch, score=score or 0.0,
-                           epoch=epoch or 0)
+                           epoch=epoch or 0, model_cfg=model_cfg)
     torch.save(snap, args.out)
     n = sum(k.startswith("module.backbone.") for k in snap["model"])
     print("exported %s (%d tensors/net + buffers) -> %s"

@@ -107,3 +107,83 @@ def test_export_import_roundtrip_bit_exact():
                 np.asarray(leaf, np.float32),
                 np.asarray(want[jax.tree_util.keystr(path)], np.float32),
                 err_msg=str(path))
+
+
+def test_export_momentum_resumes_reference_optimizer():
+    """The exported 'opt' field is a positional torch SGD state_dict the
+    reference's training resume (utils/checkpoints.py:54 ->
+    opt.load_state_dict) accepts: 4 param groups in BaseNet.parameter_groups
+    order with OUR momentum buffers, which then drive a reference-side
+    optimizer step."""
+    from dasac_tpu.train.optim import build_optimizer
+    from dasac_tpu.utils.collections import AttrDict
+
+    arch = "deeplabv2_vgg16_bn"
+    mcfg = AttrDict()
+    for k, v in dict(LR=1e-3, WEIGHT_DECAY=5e-4, MOMENTUM=0.9, OPT="SGD",
+                     OPT_NESTEROV=False, BETA1=0.9).items():
+        mcfg[k] = v
+
+    model, state = _rand_state(arch)
+    tx, _ = build_optimizer(mcfg, arch, state.params)
+    opt_state = tx.init(state.params)
+    # two dummy updates so every momentum trace is nonzero and distinct
+    params = state.params
+    for seed in (0, 1):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+        grads = treedef.unflatten([
+            0.1 * jax.random.normal(kk, l.shape, l.dtype)
+            for l, kk in zip(leaves, keys)])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+    state = state.replace(params=params, opt_state=opt_state)
+
+    snap = export_torch.export_snapshot(state, arch, model_cfg=mcfg)
+    opt_sd = snap["opt"]
+    assert len(opt_sd["param_groups"]) == 4
+    n = sum(len(g["params"]) for g in opt_sd["param_groups"])
+    assert n == len(opt_sd["state"]) == len(
+        jax.tree.leaves(state.params))
+    assert opt_sd["param_groups"][1]["weight_decay"] == 0.0  # bias group
+    assert opt_sd["param_groups"][2]["lr"] == pytest.approx(1e-2)  # 10x
+
+    # reference side: model + optimizer exactly as train.py builds them
+    ref = _build_ref(arch)
+    student, _, _ = convert.split_sac_snapshot(snap["model"])
+    ref.load_state_dict(student, strict=True)
+    groups = ref.parameter_groups(mcfg.LR, mcfg.WEIGHT_DECAY)
+    opt = torch.optim.SGD(groups, lr=mcfg.LR, momentum=mcfg.MOMENTUM,
+                          nesterov=mcfg.OPT_NESTEROV,
+                          weight_decay=mcfg.WEIGHT_DECAY)
+    opt.load_state_dict(opt_sd)  # the exact reference resume call
+
+    # our momentum buffer landed on the right torch parameter
+    kmap = convert.key_map(arch, "reference")
+    named = dict(ref.named_parameters())
+    checked = 0
+    for gi, group in enumerate(opt.param_groups):
+        for p in group["params"][:2]:
+            buf = opt.state[p]["momentum_buffer"].numpy()
+            tkey = next(k for k, v in named.items() if v is p)
+            coll, path, kind = kmap[tkey]
+            ours = np.asarray(export_torch._extract_momentum(
+                state.opt_state)["/".join(path)], np.float32)
+            if kind == "conv":
+                ours = np.transpose(ours, (3, 2, 0, 1))
+            np.testing.assert_allclose(buf, ours, rtol=1e-6, atol=1e-7,
+                                       err_msg=tkey)
+            checked += 1
+    assert checked >= 8
+
+    # and the buffers drive a reference-side step (zero grads: the update
+    # is pure momentum decay, so params must move)
+    before = {k: v.detach().clone() for k, v in named.items()}
+    for p in ref.parameters():
+        p.grad = torch.zeros_like(p)
+    opt.step()
+    moved = [k for k, v in named.items()
+             if not torch.equal(before[k], v.detach())]
+    assert moved, "momentum buffers did not drive the resume step"
