@@ -152,12 +152,19 @@ class Trainer:
         else:
             self.eval_step = jax.jit(
                 steps_lib.make_eval_step(self.model, self.scfg))
-        # plain-jit eval over full (replicated) batches — used by the target
-        # validations, which run unsharded on every host
+        # plain-jit eval over full (replicated) batches — fallback for the
+        # single-device trainer's target validation
         self.eval_step_local = jax.jit(
             steps_lib.make_eval_step(self.model, self.scfg))
-        self.target_eval_step = jax.jit(
-            steps_lib.make_target_eval_step(self.model, self.scfg))
+        if self.sharded:
+            # groups shard over the mesh exactly like the train step, and
+            # each process decodes only its slice (no pod-wide redundancy)
+            self.target_eval_step = steps_lib.shard_target_eval_step(
+                steps_lib.make_target_eval_step(self.model, self.scfg, axis),
+                self.mesh)
+        else:
+            self.target_eval_step = jax.jit(
+                steps_lib.make_target_eval_step(self.model, self.scfg))
         self.visual_step = jax.jit(
             steps_lib.make_visual_step(self.model, self.scfg))
 
@@ -266,13 +273,14 @@ class Trainer:
             return self._validation_target(epoch, max_batches)
 
         bs = max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
-        if self.sharded:  # sharded eval needs batch % mesh == 0
+        if self.sharded:  # sharded eval needs global batch % mesh == 0
             bs = max(self.n_dev, (bs // self.n_dev) * self.n_dev)
-        # NOTE multi-host: every process decodes the full val split; the
-        # confusion ratios are unaffected (uniform duplication), only host
-        # decode work is redundant
-        loader = self.loaders.val_loader(split, batch_size=bs,
-                                         max_batches=max_batches)
+        # multi-host: each process decodes only its slice of every global
+        # batch (the assembled batch covers each image once; confusions are
+        # psum'd inside the sharded eval step)
+        loader = self.loaders.val_loader(split, batch_size=bs // self.n_proc,
+                                         max_batches=max_batches,
+                                         distributed=self.n_proc > 1)
         conf = None
         first_batch = None
         for imgs, lbls in loader:
@@ -281,6 +289,9 @@ class Trainer:
             c = self.eval_step(
                 self.state, *self._place((imgs, lbls.astype(np.int32))))
             conf = c if conf is None else conf + c
+        if self.n_proc > 1:
+            print("[val:{}] rank {} decoded {} real images".format(
+                split, jax.process_index(), loader.n_real))
         if conf is None:  # empty split / max_batches == 0
             return 0.0
         self._visualise_val(writer, split, first_batch, epoch)
@@ -310,11 +321,12 @@ class Trainer:
         ignore = set(self.cfg.VAL.IGNORE_CLASS)
         baseline = self.cfg.MODEL.BASELINE
         epoch_key = jax.random.fold_in(self.rng, 10_000 + epoch)
-        # full (unsharded) batches on every host: the target eval steps are
-        # plain jits, so each process must see the whole group batch and a
-        # host-local copy of the (replicated) state
-        local_state = self._host_local_state()
-        _, tgt_loader = self.loaders.train_loaders(epoch, replicated_eval=True)
+        # sharded: groups spread over the mesh and each process decodes only
+        # its slice (the step psums the confusions).  Unsharded: plain jits
+        # on full batches with a host-local state copy.
+        local_state = None if self.sharded else self._host_local_state()
+        _, tgt_loader = self.loaders.train_loaders(
+            epoch, replicated_eval=not self.sharded)
         confs = None
         first_batch = None
         for bi, (imgs, lbls) in enumerate(tgt_loader):
@@ -323,7 +335,16 @@ class Trainer:
             if bi == 0:
                 first_batch = (imgs, lbls)
                 self.fixed.save("train_target", (imgs, lbls))
-            if baseline:
+            if self.sharded:
+                imgs_g, lbls_g = self._place((imgs, lbls.astype(np.int32)))
+                if baseline:
+                    c = {"logits_up": self.eval_step(
+                        self.state, imgs_g, lbls_g)}
+                else:
+                    c = self.target_eval_step(
+                        self.state, imgs_g, lbls_g,
+                        jax.random.fold_in(epoch_key, bi))
+            elif baseline:
                 c = {"logits_up": self.eval_step_local(
                     local_state, jnp.asarray(imgs),
                     jnp.asarray(lbls.astype(np.int32)))}

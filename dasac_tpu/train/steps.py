@@ -488,6 +488,21 @@ def shard_train_step(step_fn, mesh, axis_name="data"):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def shard_target_eval_step(step_fn, mesh, axis_name="data"):
+    """SPMD target eval: groups shard over 'data' (whole groups per device,
+    like the train step), state/rng replicated, confusions psum'd inside."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_eval_step(step_fn, mesh, axis_name="data"):
     """SPMD eval: images/labels shard over 'data', the confusion matrix is
     psum'd inside the step (replicated output)."""

@@ -143,3 +143,14 @@ def test_cli_pod_two_process_training(synth_root, tmp_path):
     snaps = glob.glob(str(tmp_path / "snap" / "**" / "*.ckpt"),
                       recursive=True)
     assert snaps, outs[0][-2000:]
+    # deduplicated pod validation: across ranks each val image is decoded
+    # exactly once (the 2-image split divides between the processes)
+    import re
+
+    n_real = []
+    for r, out in enumerate(outs):
+        m = re.search(r"\[val:val_cityscapes\] rank %d decoded (\d+) real "
+                      r"images" % r, out)
+        assert m, out[-2000:]
+        n_real.append(int(m.group(1)))
+    assert sum(n_real) == 2, n_real
