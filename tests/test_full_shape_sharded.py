@@ -1,0 +1,73 @@
+"""ONE full-shape sharded SAC step (VERDICT r2 item 7).
+
+The default suite exercises the sharded trainer at tiny crops (right for
+CI); this run-once check compiles and executes the FLAGSHIP shape — a
+512x1024 bf16 deeplabv2_resnet101 SAC step, groups and source batch sharded
+over a 2-device CPU mesh — to catch sharded-layout/padding bugs that 64x64
+hides (halo/padding in the stride-8 trunk, group-axis sharding of the
+warp/pool chain, bf16 accumulation).
+
+Excluded from the default suite (about an hour on one CPU core):
+
+    DASAC_FULL_SHAPE=1 python -m pytest tests/test_full_shape_sharded.py -q
+
+Result of the run-once execution is recorded in PARITY.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("DASAC_FULL_SHAPE") != "1",
+                    reason="full-shape run-once check; set DASAC_FULL_SHAPE=1"
+                           " (slow: ~1h on one CPU core)")
+def test_full_shape_sharded_sac_step():
+    import jax
+    import jax.numpy as jnp
+
+    from dasac_tpu.core.config import cfg, cfg_from_file, cfg_from_list
+    from dasac_tpu.core.mesh import make_mesh
+    from dasac_tpu.core.state import create_train_state
+    from dasac_tpu.nn.factory import build_model
+    from dasac_tpu.train import optim as optim_lib
+    from dasac_tpu.train import steps
+
+    cfg_from_file(os.path.join(os.path.dirname(__file__), "..", "configs",
+                               "deeplabv2_resnet101_train.yaml"))
+    # flagship hyperparameters, minimum batch that shards over 2 devices:
+    # per device 1 source image + 1 whole group of 4 views at 512x1024
+    cfg_from_list(["TRAIN.BATCH_SIZE", "2", "TRAIN.NUM_GROUPS", "2"])
+    scfg = steps.step_config_from_cfg(cfg)
+    assert scfg.crop_hw == (512, 1024) and scfg.group_size == 4
+
+    from dasac_tpu.train.checkpoints import NullTx
+
+    model = build_model(cfg.MODEL.ARCH, 19, dtype=jnp.bfloat16,
+                        axis_name="data")
+    state = create_train_state(model, NullTx(), 19, (512, 1024, 3))
+    tx, _ = optim_lib.build_optimizer(cfg.MODEL, cfg.MODEL.ARCH, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    mesh = make_mesh(2)
+    step = steps.shard_train_step(
+        steps.make_sac_step(model, tx, scfg, "data"), mesh)
+
+    rng = np.random.RandomState(0)
+    batch = (
+        jnp.asarray(rng.randint(0, 256, (2, 1052, 1914, 3), dtype=np.uint8)),
+        jnp.asarray(rng.randint(0, 19, (2, 1052, 1914)).astype(np.int32)),
+        jnp.asarray(rng.randint(0, 256, (2, 512, 1024, 3), dtype=np.uint8)),
+        jnp.asarray(rng.randint(0, 19, (2, 512, 1024)).astype(np.int32)),
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    metrics = jax.tree.map(np.asarray, metrics)
+    assert int(state.step) == 1
+    for k in ("src_loss_ce", "self_ce", "pseudo_cover"):
+        assert np.isfinite(metrics[k]).all(), (k, metrics[k])
+    assert float(metrics["src_loss_ce"]) > 0
+    # teacher lazily initialized on the first step
+    assert float(np.asarray(state.slow_init)) == 1.0
+    print("full-shape sharded step OK:",
+          {k: float(np.asarray(v).mean()) for k, v in metrics.items()})
