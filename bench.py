@@ -354,6 +354,10 @@ def main():
         "metric": "sac_adapt_train_images_per_sec_per_chip",
         "unit": "img/s/chip (TRAIN.BATCH_SIZE=8 @512x1024, r101, bf16)",
         "remat": args.remat,
+        # the reference publishes no throughput: vs_baseline divides by the
+        # documented ~1.5 img/s/GPU estimate (module docstring); mfu and
+        # hbm_util are the measured, estimate-free numbers
+        "vs_baseline_note": "estimate-derived (ref publishes no throughput)",
     }
 
     if args.mode in ("full", "step"):

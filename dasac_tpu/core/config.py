@@ -118,10 +118,12 @@ __C.TPU.MESH_DEVICES = 0
 # compute dtype for conv/matmul activations ("bfloat16" or "float32");
 # parameters and BN statistics are always float32
 __C.TPU.COMPUTE_DTYPE = "bfloat16"
-# remat (activation checkpointing): "block" checkpoints residual blocks /
-# VGG stage chunks so full-resolution batches fit in one chip's HBM; "none"
-# keeps all activations (gradients are identical either way)
-__C.TPU.REMAT = "block"
+# remat (activation checkpointing): "none" keeps all activations — measured
+# 3.5% faster than "block" (599 vs 621 ms/step) and the full flagship batch
+# fits a 16G v5e chip because the source/target branches run sequentially
+# (train/steps.py); set "block" (checkpointed residual blocks / VGG stage
+# chunks) for HBM headroom at larger batches (gradients identical either way)
+__C.TPU.REMAT = "none"
 # host data pipeline: number of decode threads and prefetch depth
 __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2

@@ -1,0 +1,157 @@
+"""Per-op HBM traffic attribution from compiled (optimized) HLO.
+
+``bench.py`` proves the flagship SAC step is HBM-bound (cost_analysis: 476
+GB accessed in 599 ms ~= 97% of v5e peak); this tool answers WHERE those
+bytes go.  It walks the optimized HLO text of the compiled step and ranks
+instructions/opcodes by their output-buffer size — the HBM WRITE side of
+the traffic (each buffer is also read at least once by its consumers, so
+writes ~ half of cost_analysis's read+write total; a ranking by writes is a
+ranking by traffic).
+
+Fusion-body computations are skipped (their interiors live in
+registers/VMEM); while/cond bodies are counted (they execute).
+
+Usage:
+  python -m dasac_tpu.tools.hlo_traffic [--top 15] [--remat none]
+  python -m dasac_tpu.tools.hlo_traffic --hlo-file step.txt
+"""
+
+import argparse
+import json
+import re
+import sys
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+    "f8e4m3fn": 1, "f8e5m2": 1, "token": 0, "opaque": 0,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+_INSTR_RE = re.compile(
+    r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?[a-z0-9]+\[[^=]*?)\s*"
+    r"([\w\-]+)\(")
+
+
+def _shape_bytes(type_str):
+    """Total bytes of one result type (tuples: sum of elements)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(type_str):
+        size = _DTYPE_BYTES.get(dtype)
+        if size is None or size == 0:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+        total += n * size
+    return total
+
+
+_SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple",
+             "bitcast", "bitcast-convert", "after-all", "partition-id"}
+
+
+def traffic_table(hlo_text, top=15):
+    """-> (rows, by_opcode, total_bytes): per-instruction top list and
+    per-opcode aggregation of output-buffer bytes in executed computations."""
+    rows, by_op = [], {}
+    in_fusion_body = False
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        if stripped.endswith("{") and "=" not in stripped:
+            # computation header: `%name (params) -> type {` or `ENTRY ...{`
+            name = stripped.split("(", 1)[0].strip().lstrip("%")
+            # region_* computations back while/cond/reduce bodies — counted
+            # (they execute); only pure fusion interiors are skipped
+            in_fusion_body = "fused_computation" in name
+            continue
+        if in_fusion_body:
+            continue
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, type_str, opcode = m.groups()
+        if opcode in _SKIP_OPS:
+            continue
+        b = _shape_bytes(type_str)
+        if not b:
+            continue
+        # fusions carry a kind= tag worth surfacing
+        kind = ""
+        km = re.search(r"kind=k(\w+)", line)
+        if km:
+            kind = ":" + km.group(1)
+        fused = re.search(r"calls=%?([\w.\-]+)", line)
+        label = opcode + kind
+        rows.append({"name": name, "op": label, "bytes": b,
+                     "shape": type_str.strip()[:60],
+                     "calls": fused.group(1) if fused else ""})
+        by_op[label] = by_op.get(label, 0) + b
+    rows.sort(key=lambda r: -r["bytes"])
+    total = sum(by_op.values())
+    return rows[:top], dict(sorted(by_op.items(), key=lambda kv: -kv[1])), \
+        total
+
+
+def format_report(rows, by_op, total, top=15):
+    lines = ["output-buffer bytes by opcode (executed computations):"]
+    for op, b in list(by_op.items())[:top]:
+        lines.append("  {:<28} {:>9.2f} GB  ({:4.1f}%)".format(
+            op, b / 1e9, 100.0 * b / max(1, total)))
+    lines.append("total instruction output bytes: %.1f GB "
+                 "(HBM writes; cost_analysis counts reads+writes)"
+                 % (total / 1e9))
+    lines.append("top instructions:")
+    for r in rows:
+        lines.append("  {:>8.2f} GB  {:<22} {}".format(
+            r["bytes"] / 1e9, r["op"], r["shape"]))
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--hlo-file", default=None,
+                    help="analyze an HLO text dump instead of compiling")
+    ap.add_argument("--remat", choices=["block", "none"], default="none")
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    if args.hlo_file:
+        with open(args.hlo_file) as f:
+            text = f.read()
+    else:
+        import os
+
+        import jax
+
+        import bench
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              10)
+        except Exception:
+            pass
+        state, step = bench._build(remat=(args.remat == "block"))
+        batch = bench._device_batch(__import__("numpy").random.RandomState(0))
+        compiled = step.lower(state, batch,
+                              jax.random.PRNGKey(0)).compile()
+        text = compiled.as_text()
+
+    rows, by_op, total = traffic_table(text, top=args.top)
+    print(format_report(rows, by_op, total, top=args.top))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"rows": rows, "by_opcode": by_op, "total": total},
+                      f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
