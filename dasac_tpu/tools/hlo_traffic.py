@@ -55,8 +55,10 @@ _SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple",
 
 def traffic_table(hlo_text, top=15):
     """-> (rows, by_opcode, total_bytes): per-instruction top list and
-    per-opcode aggregation of output-buffer bytes in executed computations."""
-    rows, by_op = [], {}
+    per-opcode aggregation of output-buffer bytes in executed computations.
+    ``by_opcode`` additionally carries 'dtype:<d>' pseudo-keys splitting the
+    total by element type (the f32-vs-bf16 decision input)."""
+    rows, by_op, by_dtype = [], {}, {}
     in_fusion_body = False
     for line in hlo_text.splitlines():
         stripped = line.strip()
@@ -69,7 +71,10 @@ def traffic_table(hlo_text, top=15):
             continue
         if in_fusion_body:
             continue
-        m = _INSTR_RE.match(line)
+        # strip layout/tiling annotations ({3,1,2,0:T(8,128)(2,1)}) BEFORE
+        # matching: the tiling's "T(...)" would otherwise parse as the opcode
+        clean = re.sub(r"\{[^{}]*\}", "", line)
+        m = _INSTR_RE.match(clean)
         if not m:
             continue
         name, type_str, opcode = m.groups()
@@ -89,17 +94,32 @@ def traffic_table(hlo_text, top=15):
                      "shape": type_str.strip()[:60],
                      "calls": fused.group(1) if fused else ""})
         by_op[label] = by_op.get(label, 0) + b
+        for dt, dims in _SHAPE_RE.findall(type_str):
+            sz = _DTYPE_BYTES.get(dt, 0)
+            if sz:
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                by_dtype[dt] = by_dtype.get(dt, 0) + n * sz
     rows.sort(key=lambda r: -r["bytes"])
     total = sum(by_op.values())
-    return rows[:top], dict(sorted(by_op.items(), key=lambda kv: -kv[1])), \
-        total
+    by_op = dict(sorted(by_op.items(), key=lambda kv: -kv[1]))
+    for dt, b in sorted(by_dtype.items(), key=lambda kv: -kv[1]):
+        by_op["dtype:" + dt] = b
+    return rows[:top], by_op, total
 
 
 def format_report(rows, by_op, total, top=15):
+    ops = {k: v for k, v in by_op.items() if not k.startswith("dtype:")}
+    dtypes = {k[6:]: v for k, v in by_op.items() if k.startswith("dtype:")}
     lines = ["output-buffer bytes by opcode (executed computations):"]
-    for op, b in list(by_op.items())[:top]:
+    for op, b in list(ops.items())[:top]:
         lines.append("  {:<28} {:>9.2f} GB  ({:4.1f}%)".format(
             op, b / 1e9, 100.0 * b / max(1, total)))
+    lines.append("by element type: " + ", ".join(
+        "%s %.1f GB (%.0f%%)" % (dt, b / 1e9, 100.0 * b / max(1, total))
+        for dt, b in dtypes.items()))
     lines.append("total instruction output bytes: %.1f GB "
                  "(HBM writes; cost_analysis counts reads+writes)"
                  % (total / 1e9))

@@ -67,6 +67,28 @@ def test_cli_abn_training_end_to_end(synth_root, tmp_path):
     assert tags, "no target-split mIoU published for the ABN baseline"
 
 
+def test_cli_abn_training_sharded_mesh(synth_root, tmp_path):
+    """ABN baseline on the 4-device mesh: exercises the SHARDED target
+    validation branch (eval_step over group batches) added for pod dedup."""
+    import jax
+
+    assert len(jax.devices()) >= 4
+    _run_train(synth_root, tmp_path, extra=[
+        "MODEL.BASELINE", "True",
+        "TPU.MESH_DEVICES", "4",
+        "TRAIN.BATCH_SIZE", "4",
+        "TRAIN.NUM_GROUPS", "4",
+        "TRAIN.GROUP_SIZE", "2",
+        "LOG.ITER_VAL", "2", "LOG.ITER_TARGET", "1",
+    ])
+    ev = glob.glob(str(tmp_path / "logs" / "**" / "events.jsonl"),
+                   recursive=True)
+    tt = [p for p in ev if os.sep + "train_target" + os.sep in p]
+    assert tt, ev
+    with open(tt[0]) as f:
+        assert any("logits_up_all/mIoU" in line for line in f)
+
+
 def test_cli_sac_training_sharded_mesh(synth_root, tmp_path):
     """Full Trainer.fit() on the 8-device CPU mesh: sharded train steps,
     sharded eval, checkpointing and resume — exercises the mesh/shard_batch
