@@ -69,7 +69,7 @@ def _hbm_peak_bw(device):
     return None
 
 
-def _build(remat):
+def _build(remat, refine_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +100,7 @@ def _build(remat):
         num_classes=19, crop_hw=HW, group_size=GROUP_SIZE,
         lr_target=5.0, net_momentum_iter=100, zoom=(0.5, 1.0),
         guided_hflip=True, tgt_blur=True, tgt_jitter=0.4, tgt_greyscale=0.2,
-        src_scale=(0.5, 1.0))
+        src_scale=(0.5, 1.0), refine_dtype=refine_dtype)
     step = jax.jit(steps.make_sac_step(model, tx, scfg), donate_argnums=(0,))
     return state, step
 
@@ -320,6 +320,10 @@ def main():
                              "(none measured fastest: 599 vs 621 ms/step; "
                              "block trades ~3.5%% for HBM headroom)")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="precision of the no-grad teacher refine/"
+                             "pseudo-label chain (traffic experiment)")
     parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
     args = parser.parse_args()
@@ -348,7 +352,8 @@ def main():
         }))
         return
 
-    state, step = _build(remat=(args.remat == "block"))
+    state, step = _build(remat=(args.remat == "block"),
+                         refine_dtype=args.refine_dtype)
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",

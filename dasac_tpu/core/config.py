@@ -124,6 +124,10 @@ __C.TPU.COMPUTE_DTYPE = "bfloat16"
 # (train/steps.py); set "block" (checkpointed residual blocks / VGG stage
 # chunks) for HBM headroom at larger batches (gradients identical either way)
 __C.TPU.REMAT = "none"
+# precision of the no-grad teacher refine/pseudo-label chain: "float32"
+# (reference-exact interpolation) or "bfloat16" (halves that chain's
+# full-resolution HBM traffic; stability measured in PARITY.md)
+__C.TPU.REFINE_DTYPE = "float32"
 # host data pipeline: number of decode threads and prefetch depth
 __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2

@@ -28,32 +28,35 @@ def _linear_indices_weights(in_size, out_size):
     return idx0, idx1, w
 
 
-def resize_bilinear_align_corners(x, size):
+def resize_bilinear_align_corners(x, size, compute_dtype=jnp.float32):
     """Bilinear resize with align_corners=True semantics.
 
     Args:
         x: [..., H, W, C] array.
         size: (out_h, out_w) python ints (static).
+        compute_dtype: interpolation dtype.  Default f32; bf16 halves the
+            full-resolution intermediate traffic of the upsample (the
+            TPU.REFINE_DTYPE experiment, see train/steps.py).
     Returns:
-        [..., out_h, out_w, C] array, same dtype as ``x`` (computed in f32).
+        [..., out_h, out_w, C] array, same dtype as ``x``.
     """
     out_h, out_w = int(size[0]), int(size[1])
     in_h, in_w = x.shape[-3], x.shape[-2]
     if (in_h, in_w) == (out_h, out_w):
         return x
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(compute_dtype)
 
     i0, i1, wy = _linear_indices_weights(in_h, out_h)
     top = jnp.take(xf, i0, axis=-3)
     bot = jnp.take(xf, i1, axis=-3)
-    wy = jnp.asarray(wy).reshape((-1, 1, 1))
+    wy = jnp.asarray(wy).astype(compute_dtype).reshape((-1, 1, 1))
     xf = top * (1.0 - wy) + bot * wy
 
     j0, j1, wx = _linear_indices_weights(in_w, out_w)
     left = jnp.take(xf, j0, axis=-2)
     right = jnp.take(xf, j1, axis=-2)
-    wx = jnp.asarray(wx).reshape((-1, 1))
+    wx = jnp.asarray(wx).astype(compute_dtype).reshape((-1, 1))
     xf = left * (1.0 - wx) + right * wx
 
     return xf.astype(orig_dtype)

@@ -50,7 +50,8 @@ def threshold_discount(running_conf, threshold_beta):
 # ---------------------------------------------------------------------------
 
 def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
-                  threshold_beta, discount=True):
+                  threshold_beta, discount=True,
+                  compute_dtype=jnp.float32):
     """Adaptive-threshold pseudo labels.
 
     Per image, each class's confidence peak (max prob over pixels where that
@@ -67,19 +68,21 @@ def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
         labels [B,H,W] int32 (255 ignore), max_conf [B,H,W], max_idx [B,H,W].
     """
     b, h, w, c = probs.shape
-    probs = probs.astype(jnp.float32)
+    probs = probs.astype(compute_dtype)
     max_conf = jnp.max(probs, axis=-1)
     max_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
-    onehot = jax.nn.one_hot(max_idx, c, dtype=jnp.float32)
-    peaks = jnp.max((onehot * max_conf[..., None]).reshape(b, -1, c), axis=1)
+    onehot = jax.nn.one_hot(max_idx, c, dtype=compute_dtype)
+    peaks = jnp.max((onehot * max_conf[..., None]).reshape(b, -1, c),
+                    axis=1).astype(jnp.float32)  # [B,C]: threshold math f32
     thresholds = peaks * upper
     if discount:
         thresholds = thresholds * threshold_discount(running_conf, threshold_beta)[None]
     thresholds = jnp.maximum(thresholds, lower)  # [B, C]
 
     # one-hot contraction instead of per-pixel gather (VPU-friendly on TPU)
-    tau = jnp.einsum("bhwc,bc->bhw", onehot, thresholds)
+    tau = jnp.einsum("bhwc,bc->bhw", onehot,
+                     thresholds.astype(compute_dtype))
     keep = (max_conf > tau) & (~ignore_augm)
     labels = jnp.where(keep, max_idx, IGNORE)
     return labels, max_conf, max_idx

@@ -59,7 +59,7 @@ POOLS = {"avg_pool": avg_pool_views, "minentropy_pool": minentropy_pool_views}
 
 def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
            group_size, pool="avg_pool", pool_on=True,
-           out_hw: Optional[tuple] = None):
+           out_hw: Optional[tuple] = None, compute_dtype=None):
     """Teacher probability refinement across a group's views.
 
     Args:
@@ -68,6 +68,11 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
         ignore_mask: [B, H, W] bool, True at augmentation padding.
         group_size: T, static.
         out_hw: full resolution (H, W); defaults to ignore_mask's.
+        compute_dtype: None keeps today's semantics (f32 upsample
+            interpolation, warps in the teacher-logits dtype);
+            ``jnp.bfloat16`` runs the whole no-grad chain in bf16 — the
+            full-resolution probability tensors halve their HBM traffic
+            (TPU.REFINE_DTYPE experiment, measured in PARITY.md).
     Returns:
         (refined_probs [B, H, W, C], diags dict)
 
@@ -83,7 +88,12 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
         out_hw = (ignore_mask.shape[-2], ignore_mask.shape[-1])
     h, w = out_hw
 
-    logits_up = resize_bilinear_align_corners(teacher_logits, (h, w))
+    if compute_dtype is None:
+        logits_up = resize_bilinear_align_corners(teacher_logits, (h, w))
+    else:
+        logits_up = resize_bilinear_align_corners(
+            teacher_logits.astype(compute_dtype), (h, w),
+            compute_dtype=compute_dtype)
     probs = jax.nn.softmax(logits_up, axis=-1)
     # the running-conf update consumes the PRE-masking probabilities
     # (reference order: _update_running_conf BEFORE zeroing padded pixels,

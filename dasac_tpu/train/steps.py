@@ -43,6 +43,9 @@ class StepConfig(NamedTuple):
     conf_discount: bool = True
     pool: str = "avg_pool"
     pool_on: bool = True
+    # "bfloat16" runs the no-grad teacher refine/pseudo-label chain in bf16
+    # (halves its full-res HBM traffic; measured in PARITY.md)
+    refine_dtype: str = "float32"
     focal_p: int = 3
     use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
     run_conf_upper: float = 0.75
@@ -89,6 +92,7 @@ def step_config_from_cfg(cfg):
         conf_discount=m.CONF_DISCOUNT,
         pool=m.CONF_POOL,
         pool_on=m.CONF_POOL_ON,
+        refine_dtype=cfg.TPU.REFINE_DTYPE,
         focal_p=m.FOCAL_P,
         use_conf_loss=(m.LOSS == "focal_ce_conf"),
         run_conf_upper=m.RUN_CONF_UPPER,
@@ -178,6 +182,11 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
     gradients (never pmean'd — single-device verification only).
     """
 
+    # refine-chain precision: None = f32 interpolation (reference-exact);
+    # bf16 halves the no-grad chain's full-res traffic
+    _rd = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else None
+    _rd_pl = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else jnp.float32
+
     def views_step(state, src_frames, src_lbls, views, rng):
         # ---- teacher EMA / lazy init (sac.py:70-102, train.py:294) --------
         # the reference's per-epoch counter updates at iteration 0 of every
@@ -201,14 +210,16 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
             views.frames_clean, train=False, update_stats=False)
         refined, diags = sac_refine.refine(
             t_logits, views.affine, views.affine_inv, views.padding,
-            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
+            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on,
+            compute_dtype=_rd)
         running_conf = sac_core.update_running_conf(
             running_conf, diags["teacher_probs"], scfg.stat_momentum,
             scfg.threshold_beta, axis_name=axis_name)
         pseudo, conf, _ = sac_core.pseudo_labels(
             refined, views.padding, running_conf,
             upper=scfg.run_conf_upper, lower=scfg.run_conf_lower,
-            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount)
+            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount,
+            compute_dtype=_rd_pl)
         pseudo = jax.lax.stop_gradient(pseudo)
         conf = jax.lax.stop_gradient(conf)
 

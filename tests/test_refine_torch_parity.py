@@ -95,3 +95,53 @@ def test_refine_minentropy_matches_selection():
     r = np.asarray(refined)
     assert (np.argmax(r, -1) == 1).all()
     assert r[..., 1].min() > 0.9
+
+
+def test_refine_bf16_chain_pseudo_label_stability():
+    """TPU.REFINE_DTYPE=bfloat16 runs the no-grad refine/pseudo-label chain
+    in bf16; labels must agree with the f32 chain except at threshold
+    boundaries (the adopt-criterion of the traffic experiment)."""
+    import jax
+
+    from dasac_tpu.sac import core as sac_core
+
+    rng = np.random.RandomState(1)
+    G, T, C = 2, 4, 19
+    h, w = 64, 128
+    B = G * T
+    # confident teacher: peaked logits so pseudo-labels have real coverage
+    peak_cls = rng.randint(0, C, (B, h // 8, w // 8))
+    logits = np.full((B, h // 8, w // 8, C), -2.0, np.float32)
+    np.put_along_axis(logits, peak_cls[..., None], 4.0, axis=-1)
+    logits += 0.3 * rng.randn(*logits.shape).astype(np.float32)
+
+    params = np.stack([
+        rng.uniform(-8, 8, B), rng.uniform(-10, 10, B), np.zeros(B),
+        1.0 / rng.uniform(0.6, 1.2, B), rng.choice([-1.0, 1.0], B),
+    ], 1).astype(np.float32)
+    params[::T] = [0, 0, 0, 1, 1]
+    aff = np.asarray(A.build_affine(params, (h, w)))
+    inv = np.asarray(A.build_affine_inv(jnp.asarray(aff), params, (h, w)))
+    ignore = (rng.rand(B, h, w) < 0.05)
+    rc = np.full(C, 0.3, np.float32)
+
+    out = {}
+    for tag, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+        lg = jnp.asarray(logits, jnp.bfloat16)
+        refined, _ = refine(lg, jnp.asarray(aff), jnp.asarray(inv),
+                            jnp.asarray(ignore), group_size=T,
+                            compute_dtype=cd)
+        pl, conf, _ = sac_core.pseudo_labels(
+            refined, jnp.asarray(ignore), jnp.asarray(rc),
+            upper=0.5, lower=0.05, threshold_beta=1e-3,
+            compute_dtype=jnp.float32 if cd is None else cd)
+        out[tag] = (np.asarray(pl), np.asarray(conf, np.float32))
+
+    labeled = (out["f32"][0] != 255) | (out["bf16"][0] != 255)
+    agree = np.mean(out["f32"][0][labeled] == out["bf16"][0][labeled])
+    cover_f32 = np.mean(out["f32"][0] != 255)
+    cover_bf16 = np.mean(out["bf16"][0] != 255)
+    assert cover_f32 > 0.15, cover_f32  # the test batch is non-degenerate
+    assert agree > 0.97, agree
+    assert abs(cover_f32 - cover_bf16) < 0.02, (cover_f32, cover_bf16)
+    assert np.abs(out["f32"][1] - out["bf16"][1]).mean() < 0.01
