@@ -321,9 +321,11 @@ def main():
                              "block trades ~3.5%% for HBM headroom)")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
-                        default="float32",
+                        default="bfloat16",
                         help="precision of the no-grad teacher refine/"
-                             "pseudo-label chain (traffic experiment)")
+                             "pseudo-label chain (bfloat16 measured 3.5%% "
+                             "faster, 579 vs 599 ms/step; matches the "
+                             "TPU.REFINE_DTYPE train default)")
     parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
     args = parser.parse_args()
