@@ -135,6 +135,8 @@ def main(argv=None):
     ap.add_argument("--hlo-file", default=None,
                     help="analyze an HLO text dump instead of compiling")
     ap.add_argument("--remat", choices=["block", "none"], default="none")
+    ap.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
@@ -158,7 +160,8 @@ def main(argv=None):
                               10)
         except Exception:
             pass
-        state, step = bench._build(remat=(args.remat == "block"))
+        state, step = bench._build(remat=(args.remat == "block"),
+                                   refine_dtype=args.refine_dtype)
         batch = bench._device_batch(__import__("numpy").random.RandomState(0))
         compiled = step.lower(state, batch,
                               jax.random.PRNGKey(0)).compile()

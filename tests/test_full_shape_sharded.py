@@ -11,7 +11,9 @@ Excluded from the default suite (about an hour on one CPU core):
 
     DASAC_FULL_SHAPE=1 python -m pytest tests/test_full_shape_sharded.py -q
 
-Result of the run-once execution is recorded in PARITY.md.
+Run-once result (2026-08-17, recorded in PARITY.md): PASSED in 3178 s —
+finite losses (src CE 2.93), teacher lazy-init fired, both mesh shards
+executed the full 512x1024 bf16 step.
 """
 
 import os
