@@ -63,7 +63,7 @@ MCFG = dict(
 )
 
 
-def _build_ref_sac(arch):
+def _build_ref_sac(arch, overrides=None):
     """Reference SAC module: student + slow copy, BN frozen (freeze_bn=True
     as models/__init__.py:29 sets for SAC mode), dropout disabled so the
     student forward is deterministic on both sides."""
@@ -87,7 +87,7 @@ def _build_ref_sac(arch):
         return _randomize(net, seed=hash(arch) % 1000 + seed)
 
     cfg = AttrDict()
-    for k, v in MCFG.items():
+    for k, v in {**MCFG, **(overrides or {})}.items():
         cfg[k] = v
     net = ref_sac.SAC(cfg, backbone(1), backbone(2), rank=0, num_classes=C)
     net.train()
@@ -103,16 +103,18 @@ def _build_ours(arch):
     return build_model(arch, C)
 
 
-def _scfg():
+def _scfg(overrides=None):
+    m = {**MCFG, **(overrides or {})}
     return steps.StepConfig(
         num_classes=C, crop_hw=(H, W), group_size=T, lr_target=LR_TARGET,
-        net_momentum=MCFG["NET_MOMENTUM"], net_momentum_iter=1,
-        stat_momentum=MCFG["STAT_MOMENTUM"],
-        threshold_beta=MCFG["THRESHOLD_BETA"],
-        conf_discount=MCFG["CONF_DISCOUNT"], pool=MCFG["CONF_POOL"],
-        pool_on=MCFG["CONF_POOL_ON"], focal_p=MCFG["FOCAL_P"],
-        use_conf_loss=True, run_conf_upper=MCFG["RUN_CONF_UPPER"],
-        run_conf_lower=MCFG["RUN_CONF_LOWER"])
+        net_momentum=m["NET_MOMENTUM"], net_momentum_iter=1,
+        stat_momentum=m["STAT_MOMENTUM"],
+        threshold_beta=m["THRESHOLD_BETA"],
+        conf_discount=m["CONF_DISCOUNT"], pool=m["CONF_POOL"],
+        pool_on=m["CONF_POOL_ON"], focal_p=m["FOCAL_P"],
+        use_conf_loss=(m["LOSS"] == "focal_ce_conf"),
+        run_conf_upper=m["RUN_CONF_UPPER"],
+        run_conf_lower=m["RUN_CONF_LOWER"])
 
 
 def _make_inputs():
@@ -156,10 +158,10 @@ def _to_t(x):
     return torch.from_numpy(np.ascontiguousarray(x))
 
 
-def _run_parity(arch):
-    ref = _build_ref_sac(arch)
+def _run_parity(arch, overrides=None, iters=ITERS):
+    ref = _build_ref_sac(arch, overrides)
     model = _build_ours(arch)
-    scfg = _scfg()
+    scfg = _scfg(overrides)
     tx = optax.sgd(LR)
 
     variables = model.init({"params": jax.random.PRNGKey(0)},
@@ -200,7 +202,7 @@ def _run_parity(arch):
     keys = _sample_keys(arch)
     kmap = convert.key_map(arch, "reference")
 
-    for it in range(ITERS):
+    for it in range(iters):
         state, mets = step(state, jnp.asarray(src_x), jnp.asarray(src_y),
                            views_j, jax.random.PRNGKey(7))
 
@@ -279,3 +281,12 @@ def test_sac_module_parity_fcn():
 
 def test_sac_module_parity_resnet101():
     _run_parity("deeplabv2_resnet101")
+
+
+def test_sac_module_parity_minentropy_focal_ce():
+    """The non-default algorithm branches against the reference module:
+    CONF_POOL=minentropy_pool (sac.py:218-236) and LOSS=focal_ce (the
+    variant WITHOUT the confidence broadcast, sac.py:119-132)."""
+    _run_parity("deeplabv2_vgg16_bn",
+                overrides={"CONF_POOL": "minentropy_pool",
+                           "LOSS": "focal_ce"}, iters=2)
