@@ -69,7 +69,7 @@ def _hbm_peak_bw(device):
     return None
 
 
-def _build(remat, refine_dtype="float32"):
+def _build(remat, refine_dtype="float32", ckpt_loss=False):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +100,8 @@ def _build(remat, refine_dtype="float32"):
         num_classes=19, crop_hw=HW, group_size=GROUP_SIZE,
         lr_target=5.0, net_momentum_iter=100, zoom=(0.5, 1.0),
         guided_hflip=True, tgt_blur=True, tgt_jitter=0.4, tgt_greyscale=0.2,
-        src_scale=(0.5, 1.0), refine_dtype=refine_dtype)
+        src_scale=(0.5, 1.0), refine_dtype=refine_dtype,
+        ckpt_loss=ckpt_loss)
     step = jax.jit(steps.make_sac_step(model, tx, scfg), donate_argnums=(0,))
     return state, step
 
@@ -326,6 +327,9 @@ def main():
                              "pseudo-label chain (bfloat16 measured 3.5%% "
                              "faster, 579 vs 599 ms/step; matches the "
                              "TPU.REFINE_DTYPE train default)")
+    parser.add_argument("--ckpt-loss", action="store_true",
+                        help="recompute the CE log-softmax maps in backward "
+                             "(traffic experiment)")
     parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
     args = parser.parse_args()
@@ -355,7 +359,8 @@ def main():
         return
 
     state, step = _build(remat=(args.remat == "block"),
-                         refine_dtype=args.refine_dtype)
+                         refine_dtype=args.refine_dtype,
+                         ckpt_loss=args.ckpt_loss)
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",

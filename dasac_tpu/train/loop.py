@@ -376,9 +376,13 @@ class Trainer:
         if batch is None:
             return
         imgs, lbls = batch
+        # ONE group suffices: the panel shows max_items (= GROUP_SIZE) views
+        # anyway, and the full-batch visual forward both peaks HBM (it OOMed
+        # the flagship burn-in next to the resident train state) and reads
+        # multi-GB f32 tensors back through a slow H2D link
         views, refined, pseudo, student_up, diags = self.visual_step(
-            self._host_local_state(), jnp.asarray(imgs),
-            jnp.asarray(lbls.astype(np.int32)),
+            self._host_local_state(), jnp.asarray(imgs[:1]),
+            jnp.asarray(lbls[:1].astype(np.int32)),
             jax.random.fold_in(self.rng, 777))
         panel = visualise.target_panel(
             views, refined, pseudo, student_up,

@@ -46,6 +46,9 @@ class StepConfig(NamedTuple):
     # "bfloat16" runs the no-grad teacher refine/pseudo-label chain in bf16
     # (halves its full-res HBM traffic; measured in PARITY.md)
     refine_dtype: str = "float32"
+    # rematerialize the CE losses' internals (full-res f32 log-softmax) in
+    # the backward pass instead of saving them (traffic experiment)
+    ckpt_loss: bool = False
     focal_p: int = 3
     use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
     run_conf_upper: float = 0.75
@@ -236,21 +239,33 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
         k_drop_src, k_drop_tgt = jax.random.split(
             jax.random.fold_in(rng, 1337))
 
+        def _src_ce(src_up):
+            return sac_core.cross_entropy_mean(src_up, src_lbls)
+
+        def _tgt_ce(tgt_up):
+            return sac_core.focal_ce(
+                tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
+                use_conf=scfg.use_conf_loss)
+
+        if scfg.ckpt_loss:
+            # save only the bf16 logits; recompute the f32 log-softmax maps
+            # during backward (elementwise flops for full-res f32 traffic)
+            _src_ce = jax.checkpoint(_src_ce)
+            _tgt_ce = jax.checkpoint(_tgt_ce)
+
         def src_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, src_up = model.apply(variables, src_frames,
                                     train=True, update_stats=False,
                                     rngs={"dropout": k_drop_src})
-            return sac_core.cross_entropy_mean(src_up, src_lbls)
+            return _src_ce(src_up)
 
         def tgt_loss(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, tgt_up = model.apply(variables, views.frames_aug,
                                     train=True, update_stats=False,
                                     rngs={"dropout": k_drop_tgt})
-            self_ce, per_class = sac_core.focal_ce(
-                tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
-                use_conf=scfg.use_conf_loss)
+            self_ce, per_class = _tgt_ce(tgt_up)
             return scfg.lr_target * self_ce, (self_ce, per_class)
 
         if scfg.target_only:
