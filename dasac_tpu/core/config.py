@@ -129,6 +129,9 @@ __C.TPU.REMAT = "none"
 # agree with f32 on >98% of labeled pixels — PARITY.md) or "float32"
 # (reference-exact interpolation)
 __C.TPU.REFINE_DTYPE = "bfloat16"
+# rematerialize the CE losses' full-res f32 log-softmax maps in backward
+# instead of saving them (elementwise recompute for HBM traffic)
+__C.TPU.CKPT_LOSS = False
 # host data pipeline: number of decode threads and prefetch depth
 __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2

@@ -96,6 +96,7 @@ def step_config_from_cfg(cfg):
         pool=m.CONF_POOL,
         pool_on=m.CONF_POOL_ON,
         refine_dtype=cfg.TPU.REFINE_DTYPE,
+        ckpt_loss=cfg.TPU.CKPT_LOSS,
         focal_p=m.FOCAL_P,
         use_conf_loss=(m.LOSS == "focal_ce_conf"),
         run_conf_upper=m.RUN_CONF_UPPER,
