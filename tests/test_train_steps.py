@@ -202,3 +202,19 @@ def test_sharded_abn_step_runs_on_mesh():
         for a, b in zip(jax.tree.leaves(state1.batch_stats),
                         jax.tree.leaves(init_stats)))
     assert moved
+
+
+def test_step_config_from_cfg_tpu_keys():
+    """TPU.REFINE_DTYPE / TPU.CKPT_LOSS reach the compiled step config (and
+    the shipped defaults select the measured-fastest modes)."""
+    from dasac_tpu.core.config import cfg, cfg_from_list, reset_cfg
+
+    reset_cfg()
+    scfg = steps.step_config_from_cfg(cfg)
+    assert scfg.refine_dtype == "bfloat16"  # round-3 measured default
+    assert scfg.ckpt_loss is False
+    assert cfg.TPU.REMAT == "none"
+    cfg_from_list(["TPU.REFINE_DTYPE", "float32", "TPU.CKPT_LOSS", "True"])
+    scfg = steps.step_config_from_cfg(cfg)
+    assert scfg.refine_dtype == "float32" and scfg.ckpt_loss is True
+    reset_cfg()
