@@ -29,4 +29,8 @@ CMD="python infer_val.py --cfg configs/${CFG_NAME}.yaml \
   --infer-list data/${FILELIST}.txt --mask-output-dir $SAVE_DIR \
   --scales $SCALES $FLIP_FLAG $SPATIAL_FLAG"
 echo "$CMD"
+if [ -n "$DRYRUN" ]; then
+  # test hook: print the dispatched command without launching
+  exit 0
+fi
 $CMD 2>&1 | tee "$LOG_FILE"

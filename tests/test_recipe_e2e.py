@@ -155,3 +155,28 @@ def test_launch_dispatch_abn_and_sac(tmp_path):
     rc, out = _dispatch({"RESUME": str(resume)}, "gta", "vgg16fcn")
     assert rc == 0 and "SAMPLE_WEIGHTS" not in out
     assert "uniform sampling" in out and "configs/fcn_vgg16_train.yaml" in out
+
+
+def test_launch_infer_dispatch(tmp_path):
+    """launch/infer_val.sh dispatch (reference launch/infer_val.sh:1-63):
+    snapshot guard, config/list selection, flag plumbing."""
+    p = subprocess.run(["bash", "launch/infer_val.sh"],
+                       env={**os.environ, "DRYRUN": "1", "SNAPSHOT_PATH": ""},
+                       cwd=REPO, capture_output=True, text=True)
+    assert p.returncode != 0 and "SNAPSHOT_PATH" in p.stdout + p.stderr
+
+    snap = tmp_path / "m.ckpt"
+    snap.write_bytes(b"x")
+    p = subprocess.run(
+        ["bash", "launch/infer_val.sh", "deeplabv2_vgg16_train",
+         "train_cityscapes"],
+        env={**os.environ, "DRYRUN": "1", "SNAPSHOT_PATH": str(snap),
+             "OUTPUT_DIR": str(tmp_path / "out"), "FLIP": "1",
+             "SPATIAL": "1"},
+        cwd=REPO, capture_output=True, text=True)
+    out = p.stdout + p.stderr
+    assert p.returncode == 0, out
+    assert "configs/deeplabv2_vgg16_train.yaml" in out
+    assert "--infer-list data/train_cityscapes.txt" in out
+    assert "--resume %s" % snap in out
+    assert "--flip" in out and "--spatial" in out
