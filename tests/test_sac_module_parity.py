@@ -290,3 +290,10 @@ def test_sac_module_parity_minentropy_focal_ce():
     _run_parity("deeplabv2_vgg16_bn",
                 overrides={"CONF_POOL": "minentropy_pool",
                            "LOSS": "focal_ce"}, iters=2)
+
+
+def test_sac_module_parity_pool_off():
+    """CONF_POOL_ON=False: the reference skips the warp/pool fusion and
+    thresholds the per-view teacher probabilities directly (sac.py:285-287)."""
+    _run_parity("deeplabv2_vgg16_bn",
+                overrides={"CONF_POOL_ON": False}, iters=2)
