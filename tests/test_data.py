@@ -186,3 +186,44 @@ def test_target_sampler_stream_independent(root):
         if np.array_equal(tgt.indices(), src.indices()):
             collisions += 1
     assert collisions == 0
+
+
+def test_padded_plain_loader_distributed_partition(tmp_path):
+    """Multi-host val decode: across ranks the real indices partition the
+    dataset exactly (disjoint, complete), every rank sees the same batch
+    count, and dummies (-1) are all-ignore (the pod dedup contract)."""
+    from PIL import Image
+
+    from dasac_tpu.data import host_loader
+
+    n, bs, reps = 7, 2, 3
+    imgs, msks = [], []
+    for i in range(n):
+        p = str(tmp_path / ("i%d.png" % i))
+        m = str(tmp_path / ("m%d.png" % i))
+        Image.fromarray(np.full((8, 8, 3), i, np.uint8)).save(p)
+        Image.fromarray(np.full((8, 8), i, np.uint8)).save(m)
+        imgs.append(p)
+        msks.append(m)
+    ds = host_loader.SegDataset(imgs, msks, (8, 8))
+
+    seen, counts = [], []
+    for rank in range(reps):
+        loader = host_loader.padded_plain_loader(
+            ds, bs, threads=1, prefetch=1, num_replicas=reps, rank=rank)
+        got = []
+        batches = 0
+        for bi, (bimgs, bmsks) in enumerate(loader):
+            assert bimgs.shape == (bs, 8, 8, 3)
+            for k in range(bs):
+                if (bmsks[k] == 255).all():   # dummy
+                    assert (bimgs[k] == 0).all()
+                else:
+                    got.append(int(bimgs[k, 0, 0, 0]))
+            batches += 1
+        assert loader.n_real == len(got)
+        seen.append(got)
+        counts.append(batches)
+    assert len(set(counts)) == 1, counts        # same batch count per rank
+    flat = sorted(sum(seen, []))
+    assert flat == list(range(n)), (flat, seen)  # disjoint + complete
