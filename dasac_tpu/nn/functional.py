@@ -28,6 +28,23 @@ def _linear_indices_weights(in_size, out_size):
     return idx0, idx1, w
 
 
+# experiment switch (bench.py --resize-matmul): "matmul" computes the
+# bilinear resize as two interpolation-matrix contractions on the MXU
+# instead of two gathers + lerps — same weights, candidate cure for the
+# layout-copy traffic around the gather formulation (PARITY.md)
+RESIZE_METHOD = "gather"
+
+
+def _linear_matrix(in_size, out_size):
+    """Dense [out, in] align-corners interpolation matrix (two taps/row)."""
+    i0, i1, w = _linear_indices_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - w)
+    np.add.at(m, (rows, i1), w)
+    return m
+
+
 def resize_bilinear_align_corners(x, size, compute_dtype=jnp.float32):
     """Bilinear resize with align_corners=True semantics.
 
@@ -46,6 +63,13 @@ def resize_bilinear_align_corners(x, size, compute_dtype=jnp.float32):
         return x
     orig_dtype = x.dtype
     xf = x.astype(compute_dtype)
+
+    if RESIZE_METHOD == "matmul":
+        mh = jnp.asarray(_linear_matrix(in_h, out_h)).astype(compute_dtype)
+        mw = jnp.asarray(_linear_matrix(in_w, out_w)).astype(compute_dtype)
+        xf = jnp.einsum("oi,...iwc->...owc", mh, xf)
+        xf = jnp.einsum("pj,...hjc->...hpc", mw, xf)
+        return xf.astype(orig_dtype)
 
     i0, i1, wy = _linear_indices_weights(in_h, out_h)
     top = jnp.take(xf, i0, axis=-3)
