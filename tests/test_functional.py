@@ -58,3 +58,33 @@ def test_resize_nearest_shapes():
     # identity when size matches
     z = np.asarray(F.resize_nearest(x, (10, 10)))
     np.testing.assert_array_equal(z, x)
+
+
+def test_resize_matmul_matches_gather_and_torch():
+    import jax.numpy as jnp
+    """The MXU (interpolation-matrix) resize formulation is numerically the
+    gather+lerp path, which itself matches torch align_corners=True."""
+    import pytest
+
+    from dasac_tpu.nn import functional as F
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 13, 17, 5).astype(np.float32)
+    ref = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
+                                                     (104, 136)))
+    assert F.RESIZE_METHOD == "gather"  # experiment stays off by default
+    try:
+        F.RESIZE_METHOD = "matmul"
+        got = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
+                                                         (104, 136)))
+    finally:
+        F.RESIZE_METHOD = "gather"
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as TF
+
+    t = TF.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                       (104, 136), mode="bilinear",
+                       align_corners=True).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, t, atol=2e-4, rtol=1e-4)
