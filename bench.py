@@ -330,9 +330,11 @@ def main():
     parser.add_argument("--ckpt-loss", action="store_true",
                         help="recompute the CE log-softmax maps in backward "
                              "(traffic experiment)")
-    parser.add_argument("--resize-matmul", action="store_true",
-                        help="bilinear upsample as MXU matrix contractions "
-                             "instead of gathers (traffic experiment)")
+    parser.add_argument("--resize-method", choices=["matmul", "gather"],
+                        default="matmul",
+                        help="bilinear-upsample formulation (matmul: MXU "
+                             "matrix contractions, measured 579->422 "
+                             "ms/step; gather: the original lerp)")
     parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
     args = parser.parse_args()
@@ -361,10 +363,9 @@ def main():
         }))
         return
 
-    if args.resize_matmul:
-        from dasac_tpu.nn import functional as F
+    from dasac_tpu.nn import functional as F
 
-        F.RESIZE_METHOD = "matmul"
+    F.RESIZE_METHOD = args.resize_method
     state, step = _build(remat=(args.remat == "block"),
                          refine_dtype=args.refine_dtype,
                          ckpt_loss=args.ckpt_loss)

@@ -132,6 +132,10 @@ __C.TPU.REFINE_DTYPE = "bfloat16"
 # rematerialize the CE losses' full-res f32 log-softmax maps in backward
 # instead of saving them (elementwise recompute for HBM traffic)
 __C.TPU.CKPT_LOSS = False
+# bilinear-upsample formulation: "matmul" (MXU interpolation-matrix
+# contractions — measured 579->422 ms/step, identical weights) or "gather"
+# (the original two-gather lerp)
+__C.TPU.RESIZE_METHOD = "matmul"
 # host data pipeline: number of decode threads and prefetch depth
 __C.TPU.LOADER_THREADS = 8
 __C.TPU.PREFETCH = 2

@@ -28,11 +28,13 @@ def _linear_indices_weights(in_size, out_size):
     return idx0, idx1, w
 
 
-# experiment switch (bench.py --resize-matmul): "matmul" computes the
-# bilinear resize as two interpolation-matrix contractions on the MXU
-# instead of two gathers + lerps — same weights, candidate cure for the
-# layout-copy traffic around the gather formulation (PARITY.md)
-RESIZE_METHOD = "gather"
+# "matmul" computes the bilinear resize as two interpolation-matrix
+# contractions on the MXU instead of two gathers + lerps — identical
+# weights (equal to the gather path and torch align_corners within 4e-7),
+# and it eliminates the layout-copy traffic the gathers forced: measured
+# 579 -> 422 ms/step on the flagship SAC step (PARITY.md).  "gather" keeps
+# the original formulation (cfg TPU.RESIZE_METHOD).
+RESIZE_METHOD = "matmul"
 
 
 def _linear_matrix(in_size, out_size):

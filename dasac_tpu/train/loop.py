@@ -66,6 +66,9 @@ class Trainer:
         self.nclass = self.loaders.num_classes
         self.class_names = self.loaders.class_names
 
+        from dasac_tpu.nn import functional as nn_functional
+
+        nn_functional.RESIZE_METHOD = cfg.TPU.RESIZE_METHOD
         dtype = compute_dtype(cfg.TPU)
         self.arch = cfg.MODEL.ARCH
         self.model = build_model(self.arch, self.nclass, dtype=dtype,

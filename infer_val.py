@@ -47,8 +47,10 @@ def main(argv=None):
         cfg_from_list(args.set_cfgs)
 
     from dasac_tpu.core.cache import enable_compile_cache
+    from dasac_tpu.nn import functional as nn_functional
 
     enable_compile_cache(cfg.TPU.COMPILE_CACHE)
+    nn_functional.RESIZE_METHOD = cfg.TPU.RESIZE_METHOD
 
     num_classes = get_num_classes()
     model = build_model(cfg.MODEL.ARCH, num_classes,

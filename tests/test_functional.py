@@ -70,15 +70,15 @@ def test_resize_matmul_matches_gather_and_torch():
 
     rng = np.random.RandomState(0)
     x = rng.randn(2, 13, 17, 5).astype(np.float32)
-    ref = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
+    assert F.RESIZE_METHOD == "matmul"  # adopted default (579->422 ms/step)
+    got = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
                                                      (104, 136)))
-    assert F.RESIZE_METHOD == "gather"  # experiment stays off by default
     try:
-        F.RESIZE_METHOD = "matmul"
-        got = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
+        F.RESIZE_METHOD = "gather"
+        ref = np.asarray(F.resize_bilinear_align_corners(jnp.asarray(x),
                                                          (104, 136)))
     finally:
-        F.RESIZE_METHOD = "gather"
+        F.RESIZE_METHOD = "matmul"
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
     torch = pytest.importorskip("torch")
