@@ -136,7 +136,7 @@ def main(argv=None):
                     help="analyze an HLO text dump instead of compiling")
     ap.add_argument("--remat", choices=["block", "none"], default="none")
     ap.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
-                    default="float32")
+                    default="bfloat16")  # match bench's adopted default
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
