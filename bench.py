@@ -69,7 +69,8 @@ def _hbm_peak_bw(device):
     return None
 
 
-def _build(remat, refine_dtype="float32", ckpt_loss=False):
+def _build(remat, refine_dtype="float32", ckpt_loss=False,
+           loss_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +102,7 @@ def _build(remat, refine_dtype="float32", ckpt_loss=False):
         lr_target=5.0, net_momentum_iter=100, zoom=(0.5, 1.0),
         guided_hflip=True, tgt_blur=True, tgt_jitter=0.4, tgt_greyscale=0.2,
         src_scale=(0.5, 1.0), refine_dtype=refine_dtype,
-        ckpt_loss=ckpt_loss)
+        ckpt_loss=ckpt_loss, loss_dtype=loss_dtype)
     step = jax.jit(steps.make_sac_step(model, tx, scfg), donate_argnums=(0,))
     return state, step
 
@@ -330,6 +331,10 @@ def main():
     parser.add_argument("--ckpt-loss", action="store_true",
                         help="recompute the CE log-softmax maps in backward "
                              "(traffic experiment)")
+    parser.add_argument("--loss-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="CE log-softmax/one-hot map precision "
+                             "(gradient-carrying; traffic experiment)")
     parser.add_argument("--resize-method", choices=["matmul", "gather"],
                         default="matmul",
                         help="bilinear-upsample formulation (matmul: MXU "
@@ -368,7 +373,8 @@ def main():
     F.RESIZE_METHOD = args.resize_method
     state, step = _build(remat=(args.remat == "block"),
                          refine_dtype=args.refine_dtype,
-                         ckpt_loss=args.ckpt_loss)
+                         ckpt_loss=args.ckpt_loss,
+                         loss_dtype=args.loss_dtype)
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",

@@ -132,6 +132,10 @@ __C.TPU.REFINE_DTYPE = "bfloat16"
 # rematerialize the CE losses' full-res f32 log-softmax maps in backward
 # instead of saving them (elementwise recompute for HBM traffic)
 __C.TPU.CKPT_LOSS = False
+# CE-loss map precision: "float32" (default) or "bfloat16" (log-softmax/
+# one-hot maps in bf16, per-pixel NLL + reductions in f32 — gradient-
+# carrying, so NOT flipped by default; measurement in PARITY.md)
+__C.TPU.LOSS_DTYPE = "float32"
 # bilinear-upsample formulation: "matmul" (MXU interpolation-matrix
 # contractions — measured 579->422 ms/step, identical weights) or "gather"
 # (the original two-gather lerp)

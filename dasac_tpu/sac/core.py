@@ -93,31 +93,34 @@ def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
 # models/deeplabv2.py:222-224)
 # ---------------------------------------------------------------------------
 
-def _nll(logits, labels):
+def _nll(logits, labels, compute_dtype=jnp.float32):
     """Per-pixel negative log-likelihood with ignore masking.
 
     Uses a one-hot contraction instead of per-pixel gathers (point gathers
     run at scalar speed on TPU; the one-hot multiply-reduce stays on the
-    VPU).  Returns (nll [B,H,W] zeroed at ignore, valid mask [B,H,W]).
+    VPU).  ``compute_dtype`` sets the full-resolution log-softmax/one-hot
+    precision (the per-pixel NLL is always returned in f32 — bf16 here is
+    the TPU.LOSS_DTYPE traffic experiment).  Returns (nll [B,H,W] zeroed at
+    ignore, valid mask [B,H,W], onehot).
     """
     c = logits.shape[-1]
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    onehot = jax.nn.one_hot(safe, c, dtype=jnp.float32)
-    picked = jnp.sum(logp * onehot, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(compute_dtype), axis=-1)
+    onehot = jax.nn.one_hot(safe, c, dtype=compute_dtype)
+    picked = jnp.sum(logp * onehot, axis=-1).astype(jnp.float32)
     return jnp.where(valid, -picked, 0.0), valid, onehot
 
 
-def cross_entropy_mean(logits, labels):
+def cross_entropy_mean(logits, labels, compute_dtype=jnp.float32):
     """Reference source loss: sum of valid per-pixel CE divided by the TOTAL
     pixel count (torch ignore_index zeros + .mean(), train.py:133)."""
-    nll, _, _ = _nll(logits, labels)
+    nll, _, _ = _nll(logits, labels, compute_dtype)
     return jnp.mean(nll)
 
 
 def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
-             use_conf=True):
+             use_conf=True, compute_dtype=jnp.float32):
     """Focal-weighted self-supervision CE (focal_ce_conf by default).
 
     Per-pixel loss = (1 - clamp(prior,0))^p [class] * NLL, optionally
@@ -127,7 +130,7 @@ def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
     """
     c = logits.shape[-1]
     focal_w = (1.0 - jnp.clip(running_conf, 0.0, None)) ** p  # [C]
-    nll, valid, onehot = _nll(logits, pseudo_gt)
+    nll, valid, onehot = _nll(logits, pseudo_gt, compute_dtype)
     safe = jnp.where(valid, pseudo_gt, 0).astype(jnp.int32)
     # one-hot contraction (no per-pixel gather)
     w = jnp.einsum("...c,c->...", onehot, focal_w) * valid.astype(jnp.float32)

@@ -49,6 +49,10 @@ class StepConfig(NamedTuple):
     # rematerialize the CE losses' internals (full-res f32 log-softmax) in
     # the backward pass instead of saving them (traffic experiment)
     ckpt_loss: bool = False
+    # "bfloat16" computes the CE log-softmax/one-hot maps in bf16 with f32
+    # per-pixel NLL and reductions (gradient-carrying: changes training
+    # numerics slightly — measured but NOT the default, PARITY.md)
+    loss_dtype: str = "float32"
     focal_p: int = 3
     use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
     run_conf_upper: float = 0.75
@@ -97,6 +101,7 @@ def step_config_from_cfg(cfg):
         pool_on=m.CONF_POOL_ON,
         refine_dtype=cfg.TPU.REFINE_DTYPE,
         ckpt_loss=cfg.TPU.CKPT_LOSS,
+        loss_dtype=cfg.TPU.LOSS_DTYPE,
         focal_p=m.FOCAL_P,
         use_conf_loss=(m.LOSS == "focal_ce_conf"),
         run_conf_upper=m.RUN_CONF_UPPER,
@@ -190,6 +195,7 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
     # bf16 halves the no-grad chain's full-res traffic
     _rd = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else None
     _rd_pl = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else jnp.float32
+    _ld = jnp.bfloat16 if scfg.loss_dtype == "bfloat16" else jnp.float32
 
     def views_step(state, src_frames, src_lbls, views, rng):
         # ---- teacher EMA / lazy init (sac.py:70-102, train.py:294) --------
@@ -241,12 +247,13 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
             jax.random.fold_in(rng, 1337))
 
         def _src_ce(src_up):
-            return sac_core.cross_entropy_mean(src_up, src_lbls)
+            return sac_core.cross_entropy_mean(src_up, src_lbls,
+                                               compute_dtype=_ld)
 
         def _tgt_ce(tgt_up):
             return sac_core.focal_ce(
                 tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
-                use_conf=scfg.use_conf_loss)
+                use_conf=scfg.use_conf_loss, compute_dtype=_ld)
 
         if scfg.ckpt_loss:
             # save only the bf16 logits; recompute the f32 log-softmax maps
