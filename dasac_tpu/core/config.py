@@ -136,6 +136,10 @@ __C.TPU.CKPT_LOSS = False
 # one-hot maps in bf16, per-pixel NLL + reductions in f32 — gradient-
 # carrying, so NOT flipped by default; measurement in PARITY.md)
 __C.TPU.LOSS_DTYPE = "float32"
+# CE NLL implementation: "xla" (log-softmax map saved as backward residual)
+# or "pallas" (fused ops/ce.py kernel, softmax recomputed in backward — no
+# materialized f32 log-softmax maps; f32-roundoff-identical)
+__C.TPU.CE_IMPL = "xla"
 # bilinear-upsample formulation: "matmul" (MXU interpolation-matrix
 # contractions — measured 579->422 ms/step, identical weights) or "gather"
 # (the original two-gather lerp)

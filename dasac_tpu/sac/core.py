@@ -93,34 +93,42 @@ def pseudo_labels(probs, ignore_augm, running_conf, *, upper, lower,
 # models/deeplabv2.py:222-224)
 # ---------------------------------------------------------------------------
 
-def _nll(logits, labels, compute_dtype=jnp.float32):
+def _nll(logits, labels, compute_dtype=jnp.float32, impl="xla"):
     """Per-pixel negative log-likelihood with ignore masking.
 
     Uses a one-hot contraction instead of per-pixel gathers (point gathers
     run at scalar speed on TPU; the one-hot multiply-reduce stays on the
     VPU).  ``compute_dtype`` sets the full-resolution log-softmax/one-hot
     precision (the per-pixel NLL is always returned in f32 — bf16 here is
-    the TPU.LOSS_DTYPE traffic experiment).  Returns (nll [B,H,W] zeroed at
-    ignore, valid mask [B,H,W], onehot).
+    the TPU.LOSS_DTYPE traffic experiment).  ``impl="pallas"`` computes the
+    NLL with the fused :mod:`dasac_tpu.ops.ce` kernel instead (softmax
+    recomputed in backward — no materialized f32 log-softmax residual;
+    values agree with the XLA path to f32 roundoff).  Returns (nll [B,H,W]
+    zeroed at ignore, valid mask [B,H,W], onehot).
     """
     c = logits.shape[-1]
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(compute_dtype), axis=-1)
     onehot = jax.nn.one_hot(safe, c, dtype=compute_dtype)
+    if impl == "pallas":
+        from dasac_tpu.ops.ce import nll_pallas
+
+        return nll_pallas(logits, labels), valid, onehot
+    logp = jax.nn.log_softmax(logits.astype(compute_dtype), axis=-1)
     picked = jnp.sum(logp * onehot, axis=-1).astype(jnp.float32)
     return jnp.where(valid, -picked, 0.0), valid, onehot
 
 
-def cross_entropy_mean(logits, labels, compute_dtype=jnp.float32):
+def cross_entropy_mean(logits, labels, compute_dtype=jnp.float32,
+                       impl="xla"):
     """Reference source loss: sum of valid per-pixel CE divided by the TOTAL
     pixel count (torch ignore_index zeros + .mean(), train.py:133)."""
-    nll, _, _ = _nll(logits, labels, compute_dtype)
+    nll, _, _ = _nll(logits, labels, compute_dtype, impl=impl)
     return jnp.mean(nll)
 
 
 def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
-             use_conf=True, compute_dtype=jnp.float32):
+             use_conf=True, compute_dtype=jnp.float32, impl="xla"):
     """Focal-weighted self-supervision CE (focal_ce_conf by default).
 
     Per-pixel loss = (1 - clamp(prior,0))^p [class] * NLL, optionally
@@ -130,7 +138,7 @@ def focal_ce(logits, pseudo_gt, teacher_conf, running_conf, p=3,
     """
     c = logits.shape[-1]
     focal_w = (1.0 - jnp.clip(running_conf, 0.0, None)) ** p  # [C]
-    nll, valid, onehot = _nll(logits, pseudo_gt, compute_dtype)
+    nll, valid, onehot = _nll(logits, pseudo_gt, compute_dtype, impl=impl)
     safe = jnp.where(valid, pseudo_gt, 0).astype(jnp.int32)
     # one-hot contraction (no per-pixel gather)
     w = jnp.einsum("...c,c->...", onehot, focal_w) * valid.astype(jnp.float32)

@@ -53,6 +53,10 @@ class StepConfig(NamedTuple):
     # per-pixel NLL and reductions (gradient-carrying: changes training
     # numerics slightly — measured but NOT the default, PARITY.md)
     loss_dtype: str = "float32"
+    # "pallas" computes the per-pixel NLL with the fused ops/ce.py kernel
+    # (softmax recomputed in backward — no materialized f32 log-softmax
+    # residual; f32-roundoff-identical to "xla")
+    ce_impl: str = "xla"
     focal_p: int = 3
     use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
     run_conf_upper: float = 0.75
@@ -102,6 +106,7 @@ def step_config_from_cfg(cfg):
         refine_dtype=cfg.TPU.REFINE_DTYPE,
         ckpt_loss=cfg.TPU.CKPT_LOSS,
         loss_dtype=cfg.TPU.LOSS_DTYPE,
+        ce_impl=cfg.TPU.CE_IMPL,
         focal_p=m.FOCAL_P,
         use_conf_loss=(m.LOSS == "focal_ce_conf"),
         run_conf_upper=m.RUN_CONF_UPPER,
@@ -248,12 +253,14 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
 
         def _src_ce(src_up):
             return sac_core.cross_entropy_mean(src_up, src_lbls,
-                                               compute_dtype=_ld)
+                                               compute_dtype=_ld,
+                                               impl=scfg.ce_impl)
 
         def _tgt_ce(tgt_up):
             return sac_core.focal_ce(
                 tgt_up, pseudo, conf, running_conf, p=scfg.focal_p,
-                use_conf=scfg.use_conf_loss, compute_dtype=_ld)
+                use_conf=scfg.use_conf_loss, compute_dtype=_ld,
+                impl=scfg.ce_impl)
 
         if scfg.ckpt_loss:
             # save only the bf16 logits; recompute the f32 log-softmax maps
