@@ -137,6 +137,7 @@ def main(argv=None):
     ap.add_argument("--remat", choices=["block", "none"], default="none")
     ap.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")  # match bench's adopted default
+    ap.add_argument("--ce-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
@@ -161,7 +162,8 @@ def main(argv=None):
         except Exception:
             pass
         state, step = bench._build(remat=(args.remat == "block"),
-                                   refine_dtype=args.refine_dtype)
+                                   refine_dtype=args.refine_dtype,
+                                   ce_impl=args.ce_impl)
         batch = bench._device_batch(__import__("numpy").random.RandomState(0))
         compiled = step.lower(state, batch,
                               jax.random.PRNGKey(0)).compile()

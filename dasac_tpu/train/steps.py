@@ -365,7 +365,8 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
                 variables, src_frames, train=True, update_stats=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(k_src, 1)})
-            ce = sac_core.cross_entropy_mean(src_up, src_lbls)
+            ce = sac_core.cross_entropy_mean(src_up, src_lbls,
+                                             impl=scfg.ce_impl)
             return ce, mut["batch_stats"]
 
         (ce_src, stats_after_src), grads = jax.value_and_grad(
@@ -380,7 +381,8 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             variables, tgt_frames, train=True, update_stats=True,
             mutable=["batch_stats"],
             rngs={"dropout": jax.random.fold_in(k_tgt, 1)})
-        ce_tgt = sac_core.cross_entropy_mean(tgt_up, tgt_lbls_o)
+        ce_tgt = sac_core.cross_entropy_mean(tgt_up, tgt_lbls_o,
+                                             impl=scfg.ce_impl)
 
         new_state = state.replace(
             params=params,
