@@ -53,7 +53,7 @@ _SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple",
              "bitcast", "bitcast-convert", "after-all", "partition-id"}
 
 
-def traffic_table(hlo_text, top=15):
+def traffic_table(hlo_text, top=15, opcode_filter=None):
     """-> (rows, by_opcode, total_bytes): per-instruction top list and
     per-opcode aggregation of output-buffer bytes in executed computations.
     ``by_opcode`` additionally carries 'dtype:<d>' pseudo-keys splitting the
@@ -103,6 +103,8 @@ def traffic_table(hlo_text, top=15):
                         n *= int(d)
                 by_dtype[dt] = by_dtype.get(dt, 0) + n * sz
     rows.sort(key=lambda r: -r["bytes"])
+    if opcode_filter:
+        rows = [r for r in rows if opcode_filter in r["op"]]
     total = sum(by_op.values())
     by_op = dict(sorted(by_op.items(), key=lambda kv: -kv[1]))
     for dt, b in sorted(by_dtype.items(), key=lambda kv: -kv[1]):
@@ -139,7 +141,13 @@ def main(argv=None):
                     default="bfloat16")  # match bench's adopted default
     ap.add_argument("--ce-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--opcode", default=None,
+                    help="restrict the top-instruction list to ops whose "
+                         "label contains this substring (e.g. 'copy')")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--dump-hlo", default=None,
+                    help="save the optimized HLO text here so later "
+                         "analyses can use --hlo-file without recompiling")
     args = ap.parse_args(argv)
 
     if args.hlo_file:
@@ -169,7 +177,12 @@ def main(argv=None):
                               jax.random.PRNGKey(0)).compile()
         text = compiled.as_text()
 
-    rows, by_op, total = traffic_table(text, top=args.top)
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(text)
+
+    rows, by_op, total = traffic_table(text, top=args.top,
+                                       opcode_filter=args.opcode)
     print(format_report(rows, by_op, total, top=args.top))
     if args.json:
         with open(args.json, "w") as f:
