@@ -70,7 +70,7 @@ def _hbm_peak_bw(device):
 
 
 def _build(remat, refine_dtype="float32", ckpt_loss=False,
-           loss_dtype="float32", ce_impl="xla"):
+           loss_dtype="float32", ce_impl="xla", refine_res="full"):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +102,8 @@ def _build(remat, refine_dtype="float32", ckpt_loss=False,
         lr_target=5.0, net_momentum_iter=100, zoom=(0.5, 1.0),
         guided_hflip=True, tgt_blur=True, tgt_jitter=0.4, tgt_greyscale=0.2,
         src_scale=(0.5, 1.0), refine_dtype=refine_dtype,
-        ckpt_loss=ckpt_loss, loss_dtype=loss_dtype, ce_impl=ce_impl)
+        ckpt_loss=ckpt_loss, loss_dtype=loss_dtype, ce_impl=ce_impl,
+        refine_res=refine_res)
     step = jax.jit(steps.make_sac_step(model, tx, scfg), donate_argnums=(0,))
     return state, step
 
@@ -340,6 +341,12 @@ def main():
                         help="per-pixel CE NLL implementation (pallas: "
                              "fused ops/ce.py kernel, softmax recomputed "
                              "in backward — traffic experiment)")
+    parser.add_argument("--refine-res", choices=["full", "stride8"],
+                        default="stride8",
+                        help="teacher refine-chain resolution (stride8: "
+                             "softmax/warp/pool at the logits' native grid, "
+                             "one upsample at the end — adopted, PARITY.md; "
+                             "full: reference-exact op order)")
     parser.add_argument("--resize-method", choices=["matmul", "gather"],
                         default="matmul",
                         help="bilinear-upsample formulation (matmul: MXU "
@@ -380,7 +387,8 @@ def main():
                          refine_dtype=args.refine_dtype,
                          ckpt_loss=args.ckpt_loss,
                          loss_dtype=args.loss_dtype,
-                         ce_impl=args.ce_impl)
+                         ce_impl=args.ce_impl,
+                         refine_res=args.refine_res)
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",

@@ -129,6 +129,12 @@ __C.TPU.REMAT = "none"
 # agree with f32 on >98% of labeled pixels — PARITY.md) or "float32"
 # (reference-exact interpolation)
 __C.TPU.REFINE_DTYPE = "bfloat16"
+# resolution of the no-grad teacher refine chain: "stride8" (measured 3.5%
+# faster: 408 vs 422 ms/step, HBM 300->277 GB — softmax/warp/pool at the
+# teacher logits' native grid, one upsample of the pooled result at the
+# end; interior pseudo-labels agree >99.99% with the full chain —
+# PARITY.md) or "full" (reference-exact op order — upsample first)
+__C.TPU.REFINE_RES = "stride8"
 # rematerialize the CE losses' full-res f32 log-softmax maps in backward
 # instead of saving them (elementwise recompute for HBM traffic)
 __C.TPU.CKPT_LOSS = False

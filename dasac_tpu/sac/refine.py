@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dasac_tpu.aug.warp import warp_affine
 from dasac_tpu.nn.functional import resize_bilinear_align_corners
@@ -59,7 +60,8 @@ POOLS = {"avg_pool": avg_pool_views, "minentropy_pool": minentropy_pool_views}
 
 def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
            group_size, pool="avg_pool", pool_on=True,
-           out_hw: Optional[tuple] = None, compute_dtype=None):
+           out_hw: Optional[tuple] = None, compute_dtype=None,
+           res: str = "full"):
     """Teacher probability refinement across a group's views.
 
     Args:
@@ -73,6 +75,16 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
             ``jnp.bfloat16`` runs the whole no-grad chain in bf16 — the
             full-resolution probability tensors halve their HBM traffic
             (TPU.REFINE_DTYPE experiment, measured in PARITY.md).
+        res: ``"full"`` reproduces the reference order exactly (upsample
+            the stride-8 logits FIRST, then softmax/mask/warp/pool at full
+            resolution).  ``"stride8"`` runs the whole chain at the
+            teacher's native stride-8 resolution — the affines are
+            normalized-coordinate maps, so the same thetas warp the small
+            grid — and upsamples the POOLED result once at the end.  The
+            teacher carries no information below stride 8, so this only
+            reorders the bilinear smoothing vs the softmax/pool
+            nonlinearities; it trades ~8 full-resolution no-grad passes for
+            one (TPU.REFINE_RES experiment, measured in PARITY.md).
     Returns:
         (refined_probs [B, H, W, C], diags dict)
 
@@ -87,6 +99,12 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     if out_hw is None:
         out_hw = (ignore_mask.shape[-2], ignore_mask.shape[-1])
     h, w = out_hw
+
+    if res == "stride8":
+        return _refine_stride8(
+            teacher_logits, affine, affine_inv, ignore_mask, out_hw=(h, w),
+            group_size=group_size, pool=pool, pool_on=pool_on,
+            compute_dtype=compute_dtype)
 
     if compute_dtype is None:
         logits_up = resize_bilinear_align_corners(teacher_logits, (h, w))
@@ -121,3 +139,61 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
 
     diags["teacher_aligned"] = aligned
     return refined, diags
+
+
+def _refine_stride8(teacher_logits, affine, affine_inv, ignore_mask, *,
+                    out_hw, group_size, pool, pool_on, compute_dtype):
+    """Whole refine chain at the teacher's native stride-8 grid.
+
+    Same ops as the full path in the same order, but every [.., H, W, C]
+    tensor is [.., h8, w8, C]; the single full-resolution tensor produced is
+    the final upsample of the pooled result.  The affines are normalized-
+    coordinate maps, so they warp the small grid directly.  The ignore mask
+    is nearest-sampled onto the stride-8 grid at the align_corners positions
+    the final upsample reads from.
+
+    ``diags["teacher_probs"]`` is returned at stride-8 — its only training
+    consumer is :func:`~dasac_tpu.sac.core.update_running_conf`, a
+    shape-agnostic spatial mean.  ``teacher_aligned`` (visualisation only)
+    is omitted; the vis step uses ``res="full"``.
+    """
+    b = teacher_logits.shape[0]
+    c = teacher_logits.shape[-1]
+    h8, w8 = teacher_logits.shape[1], teacher_logits.shape[2]
+    h, w = out_hw
+
+    resize_dtype = jnp.float32 if compute_dtype is None else compute_dtype
+    logits = (teacher_logits if compute_dtype is None
+              else teacher_logits.astype(compute_dtype))
+    probs = jax.nn.softmax(logits, axis=-1)                       # [B,h8,w8,C]
+    diags = {"teacher_probs": probs}
+
+    # stride-8 ignore mask: sample at the positions the align_corners
+    # upsample maps the small grid to (i * (H-1)/(h8-1)); the augmentation
+    # padding is piecewise-constant, so nearest sampling is exact away from
+    # the pad boundary
+    yi = jnp.round(jnp.linspace(0.0, h - 1.0, h8)).astype(jnp.int32)
+    xi = jnp.round(jnp.linspace(0.0, w - 1.0, w8)).astype(jnp.int32)
+    mask8 = ignore_mask[:, yi[:, None], xi[None, :]]              # [B,h8,w8]
+    probs_m = probs * (1.0 - mask8[..., None].astype(probs.dtype))
+
+    if not pool_on:
+        out = resize_bilinear_align_corners(
+            probs_m, (h, w), compute_dtype=resize_dtype)
+        return out, diags
+
+    aligned = warp_affine(probs_m, affine)                        # [B,h8,w8,C]
+    valid_aligned = warp_affine(
+        jnp.ones((b, h8, w8, 1), probs.dtype), affine_inv)
+    masked = aligned * valid_aligned
+
+    t = group_size
+    g = b // t
+    pooled, valid = POOLS[pool](masked.reshape(g, t, h8, w8, c))
+    pooled = pooled.reshape(b, h8, w8, c)
+    valid = valid.reshape(b, h8, w8, 1)
+
+    refined = warp_affine(pooled, affine_inv)
+    refined = refined * warp_affine(valid, affine_inv)
+    return resize_bilinear_align_corners(
+        refined, (h, w), compute_dtype=resize_dtype), diags

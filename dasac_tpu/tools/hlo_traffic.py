@@ -140,6 +140,8 @@ def main(argv=None):
     ap.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")  # match bench's adopted default
     ap.add_argument("--ce-impl", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--refine-res", choices=["full", "stride8"],
+                    default="stride8")  # match bench's adopted default
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--opcode", default=None,
                     help="restrict the top-instruction list to ops whose "
@@ -171,7 +173,8 @@ def main(argv=None):
             pass
         state, step = bench._build(remat=(args.remat == "block"),
                                    refine_dtype=args.refine_dtype,
-                                   ce_impl=args.ce_impl)
+                                   ce_impl=args.ce_impl,
+                                   refine_res=args.refine_res)
         batch = bench._device_batch(__import__("numpy").random.RandomState(0))
         compiled = step.lower(state, batch,
                               jax.random.PRNGKey(0)).compile()

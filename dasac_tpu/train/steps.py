@@ -57,6 +57,10 @@ class StepConfig(NamedTuple):
     # (softmax recomputed in backward — no materialized f32 log-softmax
     # residual; f32-roundoff-identical to "xla")
     ce_impl: str = "xla"
+    # "stride8" runs the teacher refine chain at the logits' native stride-8
+    # grid and upsamples the pooled result once (reorders the bilinear
+    # smoothing vs the softmax/pool nonlinearities — measured in PARITY.md)
+    refine_res: str = "full"
     focal_p: int = 3
     use_conf_loss: bool = True  # MODEL.LOSS == focal_ce_conf
     run_conf_upper: float = 0.75
@@ -104,6 +108,7 @@ def step_config_from_cfg(cfg):
         pool=m.CONF_POOL,
         pool_on=m.CONF_POOL_ON,
         refine_dtype=cfg.TPU.REFINE_DTYPE,
+        refine_res=cfg.TPU.REFINE_RES,
         ckpt_loss=cfg.TPU.CKPT_LOSS,
         loss_dtype=cfg.TPU.LOSS_DTYPE,
         ce_impl=cfg.TPU.CE_IMPL,
@@ -226,7 +231,7 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
         refined, diags = sac_refine.refine(
             t_logits, views.affine, views.affine_inv, views.padding,
             group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on,
-            compute_dtype=_rd)
+            compute_dtype=_rd, res=scfg.refine_res)
         running_conf = sac_core.update_running_conf(
             running_conf, diags["teacher_probs"], scfg.stat_momentum,
             scfg.threshold_beta, axis_name=axis_name)

@@ -145,3 +145,117 @@ def test_refine_bf16_chain_pseudo_label_stability():
     assert agree > 0.97, agree
     assert abs(cover_f32 - cover_bf16) < 0.02, (cover_f32, cover_bf16)
     assert np.abs(out["f32"][1] - out["bf16"][1]).mean() < 0.01
+
+
+def test_refine_stride8_pseudo_label_stability():
+    """TPU.REFINE_RES=stride8 runs the whole refine chain at the teacher's
+    native stride-8 grid and upsamples the pooled result once; the teacher
+    carries no sub-stride-8 information, so away from label boundaries the
+    pseudo-labels AND confidences must agree with the full-resolution chain
+    (the adopt-criterion of the traffic experiment).  Near boundaries the
+    reordered bilinear smoothing moves threshold decisions — a band effect
+    that shrinks as regions grow, so region size here is chosen realistic
+    (8 stride-8 px ≈ 64 full-res px; Cityscapes regions are larger still)."""
+    from dasac_tpu.sac import core as sac_core
+
+    from dasac_tpu.aug.warp import valid_mask_affine, warp_affine
+
+    rng = np.random.RandomState(2)
+    G, T, C = 2, 4, 19
+    h, w = 192, 384
+    h8, w8 = h // 8, w // 8
+    B = G * T
+
+    # coherent groups, like real SAC views: one smooth peaked label map per
+    # group; each view sees it through its own affine (the teacher's logits
+    # on view v are the group map sampled at affine_inv, the same geometry
+    # the refine chain inverts).  Independent per-view noise on top.
+    peak_cls = rng.randint(0, C, (G, h8 // 8, w8 // 8))
+    peak_cls = np.repeat(np.repeat(peak_cls, 8, 1), 8, 2)  # 8x8-s8 regions
+    base = np.full((G, h8, w8, C), -2.0, np.float32)
+    np.put_along_axis(base, peak_cls[..., None], 4.0, axis=-1)
+
+    params = np.stack([
+        rng.uniform(-20, 20, B), rng.uniform(-30, 30, B), np.zeros(B),
+        1.0 / rng.uniform(0.6, 1.2, B), rng.choice([-1.0, 1.0], B),
+    ], 1).astype(np.float32)
+    params[::T] = [0, 0, 0, 1, 1]
+    aff = np.asarray(A.build_affine(params, (h, w)))
+    inv = np.asarray(A.build_affine_inv(jnp.asarray(aff), params, (h, w)))
+
+    base_rep = np.repeat(base, T, axis=0)                       # [B,h8,w8,C]
+    logits = np.array(warp_affine(jnp.asarray(base_rep), jnp.asarray(inv)))
+    logits += 0.3 * rng.randn(*logits.shape).astype(np.float32)
+    # augmentation padding = the view pixels the group map doesn't cover
+    ignore = ~np.asarray(valid_mask_affine(jnp.asarray(inv), (h, w), (h, w)))
+    rc = np.full(C, 0.3, np.float32)
+
+    out = {}
+    for res in ("full", "stride8"):
+        refined, diags = refine(
+            jnp.asarray(logits), jnp.asarray(aff), jnp.asarray(inv),
+            jnp.asarray(ignore), group_size=T, res=res)
+        assert refined.shape == (B, h, w, C), (res, refined.shape)
+        pl, conf, _ = sac_core.pseudo_labels(
+            refined, jnp.asarray(ignore), jnp.asarray(rc),
+            upper=0.5, lower=0.05, threshold_beta=1e-3)
+        # the running-conf statistic is a shape-agnostic spatial mean; it
+        # must be close whether fed stride-8 or upsampled probabilities
+        probs_avg = np.asarray(
+            jnp.mean(diags["teacher_probs"].astype(jnp.float32)
+                     .reshape(-1, C), axis=0))
+        out[res] = (np.asarray(pl), np.asarray(conf, np.float32), probs_avg)
+
+    plf, pls = out["full"][0], out["stride8"][0]
+    cover_full = np.mean(plf != 255)
+    cover_s8 = np.mean(pls != 255)
+    assert cover_full > 0.5, cover_full
+    assert abs(cover_full - cover_s8) < 0.03, (cover_full, cover_s8)
+    # where BOTH paths commit to a class they must agree
+    both = (plf != 255) & (pls != 255)
+    assert np.mean(plf[both] == pls[both]) > 0.995
+    # confidence (the focal-CE weight): small overall, and vanishing on
+    # interiors (pixels whose label is constant in a (2r+1)^2 window) —
+    # proving the disagreement is a boundary band, not a systematic shift
+    dconf = np.abs(out["full"][1] - out["stride8"][1])
+    assert dconf[both].mean() < 0.08, dconf[both].mean()
+
+    def interior(pl, r):
+        m = pl != 255
+        eq = np.ones_like(m)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                eq &= np.roll(np.roll(pl, dy, 1), dx, 2) == pl
+        return m & eq
+
+    im = interior(plf, 8) & both
+    assert im.mean() > 0.3, im.mean()
+    assert np.mean(plf[im] == pls[im]) > 0.9999
+    assert dconf[im].mean() < 0.03, dconf[im].mean()
+    assert np.abs(out["full"][2] - out["stride8"][2]).max() < 0.02
+
+
+def test_refine_stride8_pool_off_shape():
+    """pool_on=False at stride8: masked per-view probs upsampled to full
+    resolution (same contract as the full-res path)."""
+    rng = np.random.RandomState(3)
+    B, C, h, w = 2, 4, 64, 64
+    logits = rng.randn(B, h // 8, w // 8, C).astype(np.float32)
+    ident = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32),
+                    (B, 1, 1))
+    ignore = np.zeros((B, h, w), bool)
+    ignore[:, :32] = True  # top padding band — constant region, exact at s8
+    out, _ = refine(jnp.asarray(logits), jnp.asarray(ident),
+                    jnp.asarray(ident), jnp.asarray(ignore),
+                    group_size=B, pool_on=False, res="stride8")
+    full, _ = refine(jnp.asarray(logits), jnp.asarray(ident),
+                     jnp.asarray(ident), jnp.asarray(ignore),
+                     group_size=B, pool_on=False, res="full")
+    assert out.shape == (B, h, w, C)
+    o = np.asarray(out)
+    # the padded band stays zero after the upsample, up to the bilinear
+    # support of the last masked stride-8 sample row (align_corners rows sit
+    # at i*(h-1)/(h8-1) = 0,9,18,27,...; rows :32 mask samples 0..27)
+    assert np.abs(o[:, :19]).max() < 1e-6
+    # probabilities agree away from the mask-boundary band
+    assert np.abs(o[:, 45:] - np.asarray(full)[:, 45:]).mean() < 0.05

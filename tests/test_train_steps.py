@@ -212,9 +212,12 @@ def test_step_config_from_cfg_tpu_keys():
     reset_cfg()
     scfg = steps.step_config_from_cfg(cfg)
     assert scfg.refine_dtype == "bfloat16"  # round-3 measured default
+    assert scfg.refine_res == "stride8"     # round-3 measured default
     assert scfg.ckpt_loss is False
     assert cfg.TPU.REMAT == "none"
-    cfg_from_list(["TPU.REFINE_DTYPE", "float32", "TPU.CKPT_LOSS", "True"])
+    cfg_from_list(["TPU.REFINE_DTYPE", "float32", "TPU.CKPT_LOSS", "True",
+                   "TPU.REFINE_RES", "full"])
     scfg = steps.step_config_from_cfg(cfg)
     assert scfg.refine_dtype == "float32" and scfg.ckpt_loss is True
+    assert scfg.refine_res == "full"
     reset_cfg()
