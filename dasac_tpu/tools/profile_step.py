@@ -30,10 +30,27 @@ def main(argv=None):
     p.add_argument("--arch", default="deeplabv2_resnet101")
     p.add_argument("--stages", nargs="+", default=None,
                    help="subset of stages to run")
+    # shipped-step defaults (PARITY.md round-3 adoptions)
+    p.add_argument("--remat", choices=["block", "none"], default="none")
+    p.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--refine-res", choices=["full", "stride8"],
+                   default="stride8")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    import os
 
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from dasac_tpu.aug import pipelines
     from dasac_tpu.core.state import create_train_state
@@ -44,7 +61,8 @@ def main(argv=None):
 
     hw = tuple(args.hw)
     B, G, T = args.batch, args.groups, args.group_size
-    model = build_model(args.arch, 19, dtype=jnp.bfloat16, remat=True)
+    model = build_model(args.arch, 19, dtype=jnp.bfloat16,
+                        remat=(args.remat == "block"))
 
     class _MC:
         LR = 2.5e-4
@@ -62,7 +80,9 @@ def main(argv=None):
     state = create_train_state(model, tx, 19, (*hw, 3))
     scfg = steps.StepConfig(num_classes=19, crop_hw=hw, group_size=T,
                             lr_target=5.0, zoom=(0.5, 1.0), tgt_jitter=0.4,
-                            tgt_greyscale=0.2, src_scale=(0.5, 1.0))
+                            tgt_greyscale=0.2, src_scale=(0.5, 1.0),
+                            refine_dtype=args.refine_dtype,
+                            refine_res=args.refine_res)
 
     rng = np.random.RandomState(0)
     src_i = jnp.asarray((rng.rand(B, *hw, 3) * 255).astype(np.uint8))
@@ -90,9 +110,12 @@ def main(argv=None):
 
     t_logits = jax.jit(stage_teacher)(views)
 
+    _rd = jnp.bfloat16 if args.refine_dtype == "bfloat16" else None
+
     def stage_refine(tl, v, rc):
         refined, diags = sac_refine.refine(
-            tl, v.affine, v.affine_inv, v.padding, group_size=T)
+            tl, v.affine, v.affine_inv, v.padding, group_size=T,
+            compute_dtype=_rd, res=args.refine_res)
         rc = sac_core.update_running_conf(rc, diags["teacher_probs"],
                                           0.99, 1e-3)
         pseudo, conf, _ = sac_core.pseudo_labels(
