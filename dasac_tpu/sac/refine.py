@@ -12,7 +12,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dasac_tpu.aug.warp import warp_affine
 from dasac_tpu.nn.functional import resize_bilinear_align_corners
