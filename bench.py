@@ -3,9 +3,12 @@
 
 Measures the flagship configuration (deeplabv2_resnet101_train.yaml
 semantics): DeepLabv2/ResNet-101, 512x1024 crops, 8 source images + 2
-groups x 4 target views per step, bf16 compute, remat, device-side
+groups x 4 target views per step, bf16 compute, device-side
 augmentation — the complete fused train step including teacher forward,
-refinement, pseudo-labels and both gradient branches.
+refinement, pseudo-labels and both gradient branches.  Defaults follow
+the adopted round-3 modes (no remat, bf16 + stride-8 refine chain,
+matmul resize — PARITY.md); every mode has a flag to restore the
+reference-exact variant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
