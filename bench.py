@@ -361,15 +361,15 @@ def main():
 
     import jax
 
+    from dasac_tpu.core.cache import enable_repo_cache
+
     # persistent compile cache: the flagship step takes ~10-15 min to
     # compile through the remote-compile tunnel; cached runs start in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    enable_repo_cache()
+
+    from dasac_tpu.nn import functional as F
+
+    F.RESIZE_METHOD = args.resize_method
 
     if args.mode == "infer":
         rate = bench_inference(iters=args.iters)
@@ -383,9 +383,6 @@ def main():
         }))
         return
 
-    from dasac_tpu.nn import functional as F
-
-    F.RESIZE_METHOD = args.resize_method
     state, step = _build(remat=(args.remat == "block"),
                          refine_dtype=args.refine_dtype,
                          ckpt_loss=args.ckpt_loss,

@@ -27,3 +27,15 @@ def enable_compile_cache(path):
         return True
     except Exception:
         return False
+
+
+def enable_repo_cache():
+    """Enable the repo-root ``.jax_cache`` used by bench and the perf tools.
+
+    This is the cache the driver's end-of-round bench/dryrun runs depend on
+    (gitignored; see CLAUDE.md) — one shared location so a warm entry from
+    bench also serves profile_step/hlo_traffic/compare_refine_res.
+    """
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    return enable_compile_cache(os.path.join(repo_root, ".jax_cache"))

@@ -111,6 +111,11 @@ def _nll(logits, labels, compute_dtype=jnp.float32, impl="xla"):
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     onehot = jax.nn.one_hot(safe, c, dtype=compute_dtype)
     if impl == "pallas":
+        if compute_dtype != jnp.float32:
+            raise ValueError(
+                "CE_IMPL=pallas computes in f32 only; it cannot honour "
+                "LOSS_DTYPE=%s — drop one of the two settings"
+                % jnp.dtype(compute_dtype).name)
         from dasac_tpu.ops.ce import nll_pallas
 
         return nll_pallas(logits, labels), valid, onehot

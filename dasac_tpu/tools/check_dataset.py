@@ -62,7 +62,7 @@ def _png_bit_depth(path):
         return None
 
 
-def _check_mask(path, task):
+def _check_mask(path, split):
     """-> (ok, kind, message).  kind in {trainid, labelid, raw, 16bit}."""
     depth = _png_bit_depth(path)
     if depth == 16:
@@ -88,7 +88,11 @@ def _check_mask(path, task):
     in_train = (vals <= 18) | (vals == IGNORE_LABEL)
     if in_train.all():
         return True, "trainid", ""
-    name = {"gta": "gta", "synthia": "synthia"}.get(task, "cs")
+    # the convert_train_ids table must match the SPLIT the mask belongs
+    # to, not the task: cityscapes target masks need --dataset cs even in
+    # a synthia-task layout
+    name = ("gta" if "game" in split
+            else "synthia" if "synthia" in split else "cs")
     return False, "raw", (
         "%s holds values outside the trainId range (e.g. %s) — looks like "
         "unconverted ids; run:\n      python -m dasac_tpu.tools."
@@ -124,7 +128,7 @@ def check_root(root, task, spot=10, seed=0, verbose=True):
                                min(spot, len(with_masks)), replace=False)
             kinds, bad = {}, []
             for i in picks:
-                ok, kind, msg = _check_mask(with_masks[int(i)], task)
+                ok, kind, msg = _check_mask(with_masks[int(i)], split)
                 kinds[kind] = kinds.get(kind, 0) + 1
                 if not ok:
                     bad.append(msg)

@@ -76,22 +76,15 @@ def main(argv=None):
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
-    import os
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import bench
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dasac_tpu.core.cache import enable_repo_cache
+
+    enable_repo_cache()
 
     rng = np.random.RandomState(0)
     batches = [tuple(jnp.asarray(x) for x in
@@ -101,13 +94,15 @@ def main(argv=None):
 
     state, step_s8 = bench._build(remat=False, refine_dtype="bfloat16",
                                   refine_res="stride8")
+    m = None
     for i in range(args.warmup):
         state, m = step_s8(state, batches[i % len(batches)],
                            jax.random.PRNGKey(i))
-    m = {k: float(jax.device_get(v)) for k, v in m.items()
-         if not hasattr(v, "shape") or v.shape == ()}
-    print("after warmup:", json.dumps({k: round(v, 5) for k, v in
-                                       m.items()}))
+    if m is not None:
+        m = {k: float(jax.device_get(v)) for k, v in m.items()
+             if not hasattr(v, "shape") or v.shape == ()}
+        print("after warmup:", json.dumps({k: round(v, 5) for k, v in
+                                           m.items()}))
 
     # the reference's resume-time lazy init: teacher <- student wholesale
     host = jax.device_get(state)

@@ -156,21 +156,13 @@ def main(argv=None):
         with open(args.hlo_file) as f:
             text = f.read()
     else:
-        import os
-
         import jax
 
         import bench
 
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))), ".jax_cache"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              10)
-        except Exception:
-            pass
+        from dasac_tpu.core.cache import enable_repo_cache
+
+        enable_repo_cache()
         state, step = bench._build(remat=(args.remat == "block"),
                                    refine_dtype=args.refine_dtype,
                                    ce_impl=args.ce_impl,

@@ -38,19 +38,12 @@ def main(argv=None):
                    default="stride8")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    import os
-
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dasac_tpu.core.cache import enable_repo_cache
+
+    enable_repo_cache()
 
     from dasac_tpu.aug import pipelines
     from dasac_tpu.core.state import create_train_state

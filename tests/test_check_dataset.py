@@ -43,7 +43,20 @@ def test_unconverted_labelids_fail_with_hint(tmp_path):
     bad = np.full((32, 48), 26, np.uint8)  # Cityscapes labelId for 'car'
     Image.fromarray(bad).save(os.path.join(root, "labels", "tgt_000.png"))
     report, failures = CD.check_root(root, "gta", spot=4, verbose=False)
-    assert any("convert_train_ids" in f for f in failures), failures
+    hints = [f for f in failures if "convert_train_ids" in f]
+    # the mask sits in a CITYSCAPES split: the hint must name the cs
+    # table even under --task gta (the gta table would remap labelIds
+    # into wrong-but-in-range trainIds that then pass the validator)
+    assert hints and "--dataset cs" in hints[0], failures
+
+
+def test_unconverted_source_ids_hint_names_source_table(tmp_path):
+    root = _root(tmp_path)
+    bad = np.full((32, 48), 26, np.uint8)
+    Image.fromarray(bad).save(os.path.join(root, "labels", "src_000.png"))
+    report, failures = CD.check_root(root, "gta", spot=4, verbose=False)
+    hints = [f for f in failures if "convert_train_ids" in f]
+    assert hints and "--dataset gta" in hints[0], failures
 
 
 def test_synthia_16bit_gt_detected_via_real_decoder(tmp_path):

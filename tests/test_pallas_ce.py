@@ -118,3 +118,13 @@ def test_focal_ce_impl_parity(use_conf):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_pallas_rejects_nonf32_loss_dtype():
+    """CE_IMPL=pallas + LOSS_DTYPE=bfloat16 must fail loud, not silently
+    run the f32 kernel (the bf16-CE experiment would measure nothing)."""
+    rng = np.random.RandomState(7)
+    logits, labels = _rand_case(rng, (2, 5, 6), 19)
+    with pytest.raises(ValueError, match="LOSS_DTYPE"):
+        sac_core._nll(logits, labels, compute_dtype=jnp.bfloat16,
+                      impl="pallas")

@@ -116,3 +116,21 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
     import jax
 
     assert jax.config.jax_compilation_cache_dir == str(target)
+
+
+def test_enable_repo_cache_targets_repo_root(tmp_path):
+    """The shared bench/tools cache must resolve to <repo>/.jax_cache."""
+    import jax
+
+    import dasac_tpu
+    from dasac_tpu.core.cache import enable_repo_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_repo_cache() is True
+        repo = os.path.dirname(os.path.dirname(
+            os.path.abspath(dasac_tpu.__file__)))
+        assert (jax.config.jax_compilation_cache_dir
+                == os.path.join(repo, ".jax_cache"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
