@@ -321,10 +321,13 @@ def bench_input_pipeline(iters=8):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--remat", choices=["block", "none"], default="none",
+    parser.add_argument("--remat", choices=["block", "none", "convs"],
+                        default="none",
                         help="activation checkpointing mode for the trunk "
                              "(none measured fastest: 599 vs 621 ms/step; "
-                             "block trades ~3.5%% for HBM headroom)")
+                             "block trades ~3.5%% for HBM headroom; convs "
+                             "saves conv outputs and recomputes only the "
+                             "BN/ReLU elementwise chain)")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                         default="bfloat16",
@@ -383,7 +386,7 @@ def main():
         }))
         return
 
-    state, step = _build(remat=(args.remat == "block"),
+    state, step = _build(remat=args.remat,
                          refine_dtype=args.refine_dtype,
                          ckpt_loss=args.ckpt_loss,
                          loss_dtype=args.loss_dtype,

@@ -121,8 +121,10 @@ __C.TPU.COMPUTE_DTYPE = "bfloat16"
 # remat (activation checkpointing): "none" keeps all activations — measured
 # 3.5% faster than "block" (599 vs 621 ms/step) and the full flagship batch
 # fits a 16G v5e chip because the source/target branches run sequentially
-# (train/steps.py); set "block" (checkpointed residual blocks / VGG stage
-# chunks) for HBM headroom at larger batches (gradients identical either way)
+# (train/steps.py); "block" (checkpointed residual blocks / VGG stage
+# chunks) buys HBM headroom at larger batches; "convs" saves conv outputs
+# and recomputes only the frozen-BN/ReLU elementwise chain in backward
+# (gradients identical in every mode)
 __C.TPU.REMAT = "none"
 # precision of the no-grad teacher refine/pseudo-label chain: "bfloat16"
 # (measured 3.5% faster: 579 vs 599 ms/step, HBM 476->440 GB; pseudo-labels

@@ -22,7 +22,10 @@ ARCHS = {
 
 
 def build_model(arch: str, num_classes: int, dtype=jnp.float32,
-                axis_name: Optional[str] = None, remat: bool = False):
+                axis_name: Optional[str] = None, remat=False):
+    """``remat``: False/"none" (keep activations), True/"block" (checkpoint
+    residual blocks / stage chunks), or "convs" (save conv outputs only,
+    recompute the elementwise BN/ReLU chain — see nn/resnet.remat_mode)."""
     key = arch.lower()
     assert key in ARCHS, "Unknown arch: {} (have {})".format(arch, sorted(ARCHS))
     return ARCHS[key](num_classes=num_classes, dtype=dtype,

@@ -16,11 +16,35 @@ TPU-first: NHWC layout, bf16 compute / f32 params+BN, cross-replica BN via
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from dasac_tpu.nn.functional import max_pool_ceil, resize_bilinear_align_corners
 from dasac_tpu.nn.layers import SyncBatchNorm, conv_init_normal
+
+
+def remat_mode(remat):
+    """Normalize the model ``remat`` attribute: bool (legacy) or str.
+
+    "none"  — keep all activations (fastest when they fit);
+    "block" — jax.checkpoint each residual block / stage chunk (only block
+              inputs survive the forward; convs recomputed in backward);
+    "convs" — checkpoint each block with a ``save_only_these_names`` policy
+              that KEEPS the conv outputs and recomputes only the frozen-BN/
+              ReLU elementwise chain in backward (no conv recompute; drops
+              the elementwise residuals' HBM traffic).
+    """
+    mode = {False: "none", True: "block"}.get(remat, remat)
+    if mode not in ("none", "block", "convs"):
+        raise ValueError("remat must be none/block/convs, got {!r}".format(remat))
+    return mode
+
+
+def convs_policy():
+    """Checkpoint policy for ``remat='convs'``: save tagged conv outputs."""
+    return jax.checkpoint_policies.save_only_these_names("conv_out")
 
 
 class Bottleneck(nn.Module):
@@ -30,31 +54,38 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    # tag conv outputs with jax.ad_checkpoint.checkpoint_name so the "convs"
+    # remat policy can save them; False keeps the emitted HLO bit-identical
+    # to the untagged module (compile-cache stability for none/block modes)
+    tag_convs: bool = False
 
     @nn.compact
     def __call__(self, x, update_stats: bool):
         conv_kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=conv_init_normal())
+        tag = (lambda t: checkpoint_name(t, "conv_out")) if self.tag_convs \
+            else (lambda t: t)
 
         residual = x
-        out = nn.Conv(self.planes, (1, 1), strides=self.stride, name="conv1", **conv_kw)(x)
+        out = tag(nn.Conv(self.planes, (1, 1), strides=self.stride,
+                          name="conv1", **conv_kw)(x))
         out = nn.relu(SyncBatchNorm(self.planes, axis_name=self.axis_name,
                                     dtype=self.dtype, name="bn1")(out, not update_stats))
-        out = nn.Conv(
+        out = tag(nn.Conv(
             self.planes, (3, 3),
             kernel_dilation=self.dilation,
             padding=self.dilation,
             name="conv2", **conv_kw,
-        )(out)
+        )(out))
         out = nn.relu(SyncBatchNorm(self.planes, axis_name=self.axis_name,
                                     dtype=self.dtype, name="bn2")(out, not update_stats))
-        out = nn.Conv(self.planes * 4, (1, 1), name="conv3", **conv_kw)(out)
+        out = tag(nn.Conv(self.planes * 4, (1, 1), name="conv3", **conv_kw)(out))
         out = SyncBatchNorm(self.planes * 4, axis_name=self.axis_name,
                             dtype=self.dtype, name="bn3")(out, not update_stats)
 
         if self.has_downsample:
-            residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
-                               name="downsample_conv", **conv_kw)(x)
+            residual = tag(nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
+                                   name="downsample_conv", **conv_kw)(x))
             residual = SyncBatchNorm(self.planes * 4, axis_name=self.axis_name,
                                      dtype=self.dtype, name="downsample_bn")(
                 residual, not update_stats)
@@ -95,10 +126,12 @@ class ResNet101Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     layers: tuple = (3, 4, 23, 3)
-    remat: bool = False
+    remat: object = False  # bool (legacy) or "none"/"block"/"convs"
 
     @nn.compact
     def __call__(self, x, update_stats: bool):
+        mode = remat_mode(self.remat)
+
         def stem(mdl, xx):
             xx = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                          dtype=mdl.dtype, param_dtype=jnp.float32,
@@ -108,9 +141,10 @@ class ResNet101Backbone(nn.Module):
                                        name="bn1")(xx, not update_stats))
             return max_pool_ceil(xx, window=3, stride=2, padding=1)
 
-        if self.remat:
+        if mode != "none":
             # the stem's full-resolution activations (~1GB per branch at
-            # 512x1024 batch 8) are cheap to recompute
+            # 512x1024 batch 8) are cheap to recompute — full remat in both
+            # checkpointing modes
             x = nn.remat(stem)(self, x)
         else:
             x = stem(self, x)
@@ -123,8 +157,11 @@ class ResNet101Backbone(nn.Module):
             (512, 1, 4),
         ]
         block_cls = Bottleneck
-        if self.remat:
+        if mode == "block":
             block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        elif mode == "convs":
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,),
+                                 policy=convs_policy())
         in_planes = 64
         for li, ((planes, stride, dilation), n_blocks) in enumerate(
             zip(specs, self.layers), start=1
@@ -143,6 +180,7 @@ class ResNet101Backbone(nn.Module):
                     has_downsample=has_down,
                     dtype=self.dtype,
                     axis_name=self.axis_name,
+                    tag_convs=(mode == "convs"),
                     name="layer{}_{}".format(li, bi),
                 )(x, update_stats)
                 in_planes = planes * 4
@@ -156,7 +194,7 @@ class DeepLabV2ResNet101(nn.Module):
     num_classes: int = 19
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
-    remat: bool = False
+    remat: object = False  # bool (legacy) or "none"/"block"/"convs"
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):

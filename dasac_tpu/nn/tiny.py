@@ -17,7 +17,7 @@ class TinySeg(nn.Module):
     width: int = 8
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False  # accepted for interface parity; nothing to checkpoint
+    remat: object = False  # accepted for interface parity; nothing to checkpoint
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):

@@ -17,9 +17,11 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from dasac_tpu.nn.functional import max_pool, resize_bilinear_align_corners
 from dasac_tpu.nn.layers import SyncBatchNorm, conv_init_normal
-from dasac_tpu.nn.resnet import ASPP
+from dasac_tpu.nn.resnet import ASPP, convs_policy, remat_mode
 
 # torchvision vgg16_bn feature layout: (torch_index, kind, out_channels)
 # pools sit at indices 6, 13, 23, 33, 43
@@ -54,6 +56,9 @@ class _VGGRange(nn.Module):
     dilate: Sequence[int] = ()
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    # tag conv outputs for the "convs" remat policy (see nn/resnet.py);
+    # False keeps the emitted HLO bit-identical to the untagged module
+    tag_convs: bool = False
 
     @nn.compact
     def __call__(self, x, update_stats: bool):
@@ -71,6 +76,8 @@ class _VGGRange(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="features_{}".format(idx),
                 )(x)
+                if self.tag_convs:
+                    x = checkpoint_name(x, "conv_out")
             else:  # bn (always followed by relu in vgg16_bn)
                 x = nn.relu(
                     SyncBatchNorm(ch, axis_name=self.axis_name, dtype=self.dtype,
@@ -80,6 +87,8 @@ class _VGGRange(nn.Module):
 
 
 _VGGRangeRemat = nn.remat(_VGGRange, static_argnums=(2,))
+_VGGRangeRematConvs = nn.remat(_VGGRange, static_argnums=(2,),
+                               policy=convs_policy())
 
 
 class VGGStage(nn.Module):
@@ -98,13 +107,18 @@ class VGGStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     remat_chunks: Sequence[Tuple[int, int]] = ()
+    remat_kind: str = "block"  # "block" or "convs"; used when chunks are set
 
     def setup(self):
         chunks = tuple(self.remat_chunks) or ((self.start, self.stop),)
-        cls = _VGGRangeRemat if self.remat_chunks else _VGGRange
+        convs = bool(self.remat_chunks) and self.remat_kind == "convs"
+        if self.remat_chunks:
+            cls = _VGGRangeRematConvs if convs else _VGGRangeRemat
+        else:
+            cls = _VGGRange
         self.ranges = [
             cls(lo, hi, self.skip_pools, self.dilate, self.dtype,
-                self.axis_name)
+                self.axis_name, convs)
             for lo, hi in chunks
         ]
         for r in self.ranges:
@@ -126,15 +140,16 @@ class DeepLabV2VGG16(nn.Module):
     num_classes: int = 19
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
-    remat: bool = False
+    remat: object = False  # bool (legacy) or "none"/"block"/"convs"
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         h, w = x.shape[-3], x.shape[-2]
-        chunks = ((0, 7), (7, 14), (14, 24), (24, 44)) if self.remat else ()
+        mode = remat_mode(self.remat)
+        chunks = ((0, 7), (7, 14), (14, 24), (24, 44)) if mode != "none" else ()
         feats = VGGStage(0, 44, skip_pools=(33, 43), dilate=(34, 37, 40),
                          dtype=self.dtype, axis_name=self.axis_name,
-                         remat_chunks=chunks,
+                         remat_chunks=chunks, remat_kind=mode,
                          name="features")(x.astype(self.dtype), update_stats)
         conv_kw = dict(use_bias=True, dtype=self.dtype, param_dtype=jnp.float32)
         feats = nn.relu(nn.Conv(1024, (3, 3), kernel_dilation=4, padding=4,
@@ -154,16 +169,18 @@ class VGG16FCN8s(nn.Module):
     drop_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
-    remat: bool = False
+    remat: object = False  # bool (legacy) or "none"/"block"/"convs"
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         h, w = x.shape[-3], x.shape[-2]
         xd = x.astype(self.dtype)
-        stage_kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        c1 = ((0, 7), (7, 14), (14, 24)) if self.remat else ()
-        c2 = ((24, 34),) if self.remat else ()
-        c3 = ((34, 44),) if self.remat else ()
+        mode = remat_mode(self.remat)
+        stage_kw = dict(dtype=self.dtype, axis_name=self.axis_name,
+                        remat_kind=mode)
+        c1 = ((0, 7), (7, 14), (14, 24)) if mode != "none" else ()
+        c2 = ((24, 34),) if mode != "none" else ()
+        c3 = ((34, 44),) if mode != "none" else ()
         pool3 = VGGStage(0, 24, remat_chunks=c1, name="block1",
                          **stage_kw)(xd, update_stats)      # 1/8
         pool4 = VGGStage(24, 34, remat_chunks=c2, name="block2",

@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--stages", nargs="+", default=None,
                    help="subset of stages to run")
     # shipped-step defaults (PARITY.md round-3 adoptions)
-    p.add_argument("--remat", choices=["block", "none"], default="none")
+    p.add_argument("--remat", choices=["block", "none", "convs"], default="none")
     p.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
     p.add_argument("--refine-res", choices=["full", "stride8"],
@@ -55,7 +55,7 @@ def main(argv=None):
     hw = tuple(args.hw)
     B, G, T = args.batch, args.groups, args.group_size
     model = build_model(args.arch, 19, dtype=jnp.bfloat16,
-                        remat=(args.remat == "block"))
+                        remat=args.remat)
 
     class _MC:
         LR = 2.5e-4

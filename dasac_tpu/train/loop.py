@@ -72,8 +72,7 @@ class Trainer:
         dtype = compute_dtype(cfg.TPU)
         self.arch = cfg.MODEL.ARCH
         self.model = build_model(self.arch, self.nclass, dtype=dtype,
-                                 axis_name=axis,
-                                 remat=(cfg.TPU.REMAT != "none"))
+                                 axis_name=axis, remat=cfg.TPU.REMAT)
 
         # state + optimizer
         sample_hw = tuple(cfg.DATASET.CROP_SIZE)
