@@ -136,7 +136,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--hlo-file", default=None,
                     help="analyze an HLO text dump instead of compiling")
-    ap.add_argument("--remat", choices=["block", "none"], default="none")
+    ap.add_argument("--remat", choices=["block", "none", "convs"],
+                    default="none")
     ap.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")  # match bench's adopted default
     ap.add_argument("--ce-impl", choices=["xla", "pallas"], default="xla")
@@ -163,7 +164,7 @@ def main(argv=None):
         from dasac_tpu.core.cache import enable_repo_cache
 
         enable_repo_cache()
-        state, step = bench._build(remat=(args.remat == "block"),
+        state, step = bench._build(remat=args.remat,
                                    refine_dtype=args.refine_dtype,
                                    ce_impl=args.ce_impl,
                                    refine_res=args.refine_res)
