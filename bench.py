@@ -73,13 +73,20 @@ def _hbm_peak_bw(device):
 
 
 def _build(remat, refine_dtype="float32", ckpt_loss=False,
-           loss_dtype="float32", ce_impl="xla", refine_res="full"):
+           loss_dtype="float32", ce_impl="xla", refine_res="full",
+           resize_method="matmul"):
     import jax
     import jax.numpy as jnp
 
     from dasac_tpu.core.state import create_train_state
+    from dasac_tpu.nn import functional as F
     from dasac_tpu.nn.factory import build_model
     from dasac_tpu.train import optim, steps
+
+    # module-global read at trace time — set BEFORE make_sac_step so every
+    # _build caller (bench, hlo_traffic, compare_refine_res) analyzes the
+    # resize formulation it asked for
+    F.RESIZE_METHOD = resize_method
 
     model = build_model("deeplabv2_resnet101", 19, dtype=jnp.bfloat16,
                         remat=remat)
@@ -324,10 +331,12 @@ def main():
     parser.add_argument("--remat", choices=["block", "none", "convs"],
                         default="none",
                         help="activation checkpointing mode for the trunk "
-                             "(none measured fastest: 599 vs 621 ms/step; "
-                             "block trades ~3.5%% for HBM headroom; convs "
-                             "saves conv outputs and recomputes only the "
-                             "BN/ReLU elementwise chain)")
+                             "(none measured fastest on the round-2 f32 "
+                             "chain: 599 vs 621 ms/step for block, ~3.5%% "
+                             "traded for HBM headroom — not re-measured on "
+                             "the adopted 408 ms step; convs saves conv "
+                             "outputs and recomputes only the BN/ReLU "
+                             "elementwise chain)")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--refine-dtype", choices=["float32", "bfloat16"],
                         default="bfloat16",
@@ -391,7 +400,8 @@ def main():
                          ckpt_loss=args.ckpt_loss,
                          loss_dtype=args.loss_dtype,
                          ce_impl=args.ce_impl,
-                         refine_res=args.refine_res)
+                         refine_res=args.refine_res,
+                         resize_method=args.resize_method)
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",

@@ -28,6 +28,14 @@ def load_torch_file(path):
         for k in ("score", "epoch"):
             if k in data:
                 out[k] = data[k]
+        opt = data.get("opt")
+        if isinstance(opt, dict) and opt.get("state"):
+            # torch.optim state_dict: positional param ids -> buffer dicts
+            out["opt"] = {
+                "state": {int(i): {kk: _np(vv) for kk, vv in s.items()}
+                          for i, s in opt["state"].items()},
+                "param_groups": opt.get("param_groups", []),
+            }
         return out
     return {k: _np(v) for k, v in data.items()}
 

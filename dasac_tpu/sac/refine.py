@@ -57,6 +57,34 @@ def minentropy_pool_views(masked_probs, tolerance=0.1):
 POOLS = {"avg_pool": avg_pool_views, "minentropy_pool": minentropy_pool_views}
 
 
+def _pool_over_views(probs_m, affine, affine_inv, *, group_size, pool):
+    """Shared warp -> pool -> unwarp tail of both refine resolutions
+    (sac.py:283-307): align every view's masked probabilities to the
+    reference frame, weight by the warped validity of the inverse map, pool
+    over the group's T views, then warp the pooled map and its count-mask
+    back into each view's frame.  Works at any (h, w) — the full and
+    stride8 paths stay in lockstep by construction.
+
+    Returns (refined [B,h,w,C], aligned [B,h,w,C]) — ``aligned`` feeds the
+    visualisation diagnostics on the full path.
+    """
+    b, h, w, c = probs_m.shape
+    aligned = warp_affine(probs_m, affine)
+    valid_aligned = warp_affine(
+        jnp.ones((b, h, w, 1), probs_m.dtype), affine_inv)
+    masked = aligned * valid_aligned
+
+    t = group_size
+    g = b // t
+    pooled, valid = POOLS[pool](masked.reshape(g, t, h, w, c))
+    pooled = pooled.reshape(b, h, w, c)
+    valid = valid.reshape(b, h, w, 1)
+
+    refined = warp_affine(pooled, affine_inv)
+    refined_valid = warp_affine(valid, affine_inv)
+    return refined * refined_valid, aligned
+
+
 def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
            group_size, pool="avg_pool", pool_on=True,
            out_hw: Optional[tuple] = None, compute_dtype=None,
@@ -93,8 +121,6 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     its count-mask back per view.  The running-conf update is the caller's
     job (it needs the pre-warp probs).
     """
-    b = teacher_logits.shape[0]
-    c = teacher_logits.shape[-1]
     if out_hw is None:
         out_hw = (ignore_mask.shape[-2], ignore_mask.shape[-1])
     h, w = out_hw
@@ -121,21 +147,8 @@ def refine(teacher_logits, affine, affine_inv, ignore_mask, *,
     if not pool_on:
         return probs, diags
 
-    aligned = warp_affine(probs, affine)                          # [B,H,W,C]
-    valid_aligned = warp_affine(
-        jnp.ones((b, h, w, 1), probs.dtype), affine_inv)
-    masked = aligned * valid_aligned
-
-    t = group_size
-    g = b // t
-    pooled, valid = POOLS[pool](masked.reshape(g, t, h, w, c))
-    pooled = pooled.reshape(b, h, w, c)
-    valid = valid.reshape(b, h, w, 1)
-
-    refined = warp_affine(pooled, affine_inv)
-    refined_valid = warp_affine(valid, affine_inv)
-    refined = refined * refined_valid
-
+    refined, aligned = _pool_over_views(
+        probs, affine, affine_inv, group_size=group_size, pool=pool)
     diags["teacher_aligned"] = aligned
     return refined, diags
 
@@ -156,8 +169,6 @@ def _refine_stride8(teacher_logits, affine, affine_inv, ignore_mask, *,
     shape-agnostic spatial mean.  ``teacher_aligned`` (visualisation only)
     is omitted; the vis step uses ``res="full"``.
     """
-    b = teacher_logits.shape[0]
-    c = teacher_logits.shape[-1]
     h8, w8 = teacher_logits.shape[1], teacher_logits.shape[2]
     h, w = out_hw
 
@@ -181,18 +192,7 @@ def _refine_stride8(teacher_logits, affine, affine_inv, ignore_mask, *,
             probs_m, (h, w), compute_dtype=resize_dtype)
         return out, diags
 
-    aligned = warp_affine(probs_m, affine)                        # [B,h8,w8,C]
-    valid_aligned = warp_affine(
-        jnp.ones((b, h8, w8, 1), probs.dtype), affine_inv)
-    masked = aligned * valid_aligned
-
-    t = group_size
-    g = b // t
-    pooled, valid = POOLS[pool](masked.reshape(g, t, h8, w8, c))
-    pooled = pooled.reshape(b, h8, w8, c)
-    valid = valid.reshape(b, h8, w8, 1)
-
-    refined = warp_affine(pooled, affine_inv)
-    refined = refined * warp_affine(valid, affine_inv)
+    refined, _ = _pool_over_views(
+        probs_m, affine, affine_inv, group_size=group_size, pool=pool)
     return resize_bilinear_align_corners(
         refined, (h, w), compute_dtype=resize_dtype), diags

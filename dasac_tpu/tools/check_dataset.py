@@ -51,24 +51,40 @@ TASK_SPLITS = {
 
 
 def _png_bit_depth(path):
-    """Bit depth from the IHDR without a full decode (None if not a PNG)."""
+    """(bit depth, color type) from the IHDR without a full decode
+    ((None, None) if not a PNG).  Color type: 0 gray, 2 RGB, 3 palette,
+    4 gray+alpha, 6 RGBA."""
     try:
         with open(path, "rb") as f:
             head = f.read(33)
         if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
-            return None
-        return head[24]
+            return None, None
+        return head[24], head[25]
     except OSError:
-        return None
+        return None, None
 
 
 def _check_mask(path, split):
     """-> (ok, kind, message).  kind in {trainid, labelid, raw, 16bit}."""
-    depth = _png_bit_depth(path)
+    depth, color = _png_bit_depth(path)
     if depth == 16:
+        raw = SynthiaMapper.read(path)
+        vals16 = np.unique(raw)
+        if color == 0 and (((vals16 <= 18) | (vals16 == IGNORE_LABEL)).all()):
+            # single-channel 16-bit holding trainId-range values: an
+            # already-converted mask merely saved at 16-bit depth.  Accept
+            # it only if the training loader's 8-bit PIL path reads the
+            # same values (host_loader converts non-P masks via "L")
+            with Image.open(path) as m:
+                loaded = np.asarray(m.convert("L")).astype(np.uint8)
+            if (loaded == raw).all():
+                return True, "trainid", ""
+            return False, "16bit", (
+                "%s holds trainId-range values at 16-bit depth, but the "
+                "8-bit load path reads different values — re-save it as "
+                "8-bit grayscale" % path)
         # SYNTHIA raw GT: class id is the 16-bit VALUE of channel 0;
         # exercise the real decoder + the id-mapper round trip
-        raw = SynthiaMapper.read(path)
         if raw.max(initial=0) > 22:
             return False, "16bit", (
                 "16-bit mask %s decodes to ids up to %d (> SYNTHIA range); "

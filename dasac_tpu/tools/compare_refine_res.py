@@ -73,6 +73,8 @@ def main(argv=None):
     ap.add_argument("--every", type=int, default=50)
     ap.add_argument("--batches", type=int, default=4,
                     help="distinct synthetic batches cycled through")
+    ap.add_argument("--resize-method", choices=["matmul", "gather"],
+                    default="matmul")  # match bench's adopted default
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -93,7 +95,8 @@ def main(argv=None):
                for _ in range(args.batches)]
 
     state, step_s8 = bench._build(remat=False, refine_dtype="bfloat16",
-                                  refine_res="stride8")
+                                  refine_res="stride8",
+                                  resize_method=args.resize_method)
     m = None
     for i in range(args.warmup):
         state, m = step_s8(state, batches[i % len(batches)],
@@ -110,7 +113,8 @@ def main(argv=None):
                         teacher_stats=host.batch_stats)
 
     _, step_full = bench._build(remat=False, refine_dtype="bfloat16",
-                                refine_res="full")
+                                refine_res="full",
+                                resize_method=args.resize_method)
     rows = {}
     for res, step in (("full", step_full), ("stride8", step_s8)):
         st = jax.device_put(host)

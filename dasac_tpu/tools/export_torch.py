@@ -150,6 +150,78 @@ def export_opt_state(state, arch, model_cfg):
     return {"state": opt_st, "param_groups": param_groups}
 
 
+def import_opt_state(opt_dict, opt_state, arch):
+    """The inverse of :func:`export_opt_state`: map a torch.optim.SGD
+    ``state_dict()`` (positional param ids over the reference's 4 param
+    groups) back into our optax TraceState momentum buffers, so a TRAINING
+    resume from a reference ``.pth`` continues the reference's momentum
+    instead of silently restarting it (reference utils/checkpoints.py:54).
+
+    Returns (new_opt_state, n_imported).  Buffers torch never materialised
+    (params untouched before the save) keep our zero-init trace; shape
+    mismatches raise.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dasac_tpu.tools.torch_param_groups import PARAM_GROUPS
+    from dasac_tpu.train.optim import GROUPS
+
+    kmap = convert.key_map(arch, "reference")
+    st = opt_dict.get("state", {})
+    groups = opt_dict.get("param_groups", [])
+    # torch ids come from the saved param_groups when present (robust to
+    # non-sequential ids); else fall back to the positional convention
+    if groups:
+        ids_per_group = [g["params"] for g in groups]
+    else:
+        ids_per_group, idx = [], 0
+        for keys in PARAM_GROUPS[arch]:
+            ids_per_group.append(list(range(idx, idx + len(keys))))
+            idx += len(keys)
+    if len(ids_per_group) != len(GROUPS):
+        raise ValueError("expected %d param groups, snapshot has %d"
+                         % (len(GROUPS), len(ids_per_group)))
+
+    buf = {}
+    for keys, ids in zip(PARAM_GROUPS[arch], ids_per_group):
+        if len(keys) != len(ids):
+            raise ValueError("param-group size mismatch: %d keys vs %d ids"
+                             % (len(keys), len(ids)))
+        for tkey, pid in zip(keys, ids):
+            entry = st.get(pid, st.get(str(pid)))
+            if not entry or "momentum_buffer" not in entry:
+                continue
+            _, path, kind = kmap[tkey]
+            arr = np.asarray(entry["momentum_buffer"], np.float32)
+            if kind == "conv":
+                arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            buf["/".join(path)] = arr
+
+    imported = []
+
+    def _sub_trace(ts):
+        def repl(path, leaf):
+            key = "/".join(str(getattr(k, "key", k)) for k in path)
+            arr = buf.get(key)
+            if arr is None:
+                return leaf
+            if tuple(arr.shape) != tuple(leaf.shape):
+                raise ValueError("momentum shape mismatch at %s: %s vs %s"
+                                 % (key, arr.shape, leaf.shape))
+            imported.append(key)
+            return jnp.asarray(arr, leaf.dtype)
+
+        return optax.TraceState(
+            trace=jax.tree_util.tree_map_with_path(repl, ts.trace))
+
+    new_opt = jax.tree_util.tree_map(
+        lambda x: _sub_trace(x) if isinstance(x, optax.TraceState) else x,
+        opt_state, is_leaf=lambda x: isinstance(x, optax.TraceState))
+    return new_opt, len(imported)
+
+
 def export_snapshot(state, arch, score=0.0, epoch=0, model_cfg=None):
     """TrainState -> the reference's snapshot dict (student + teacher +
     algorithm buffers, DDP 'module.' prefix included).  With ``model_cfg``

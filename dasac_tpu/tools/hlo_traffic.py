@@ -52,6 +52,28 @@ def _shape_bytes(type_str):
 _SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple",
              "bitcast", "bitcast-convert", "after-all", "partition-id"}
 
+# computation header: `[ENTRY ]%name (params...) -> type[, attrs...] {`
+# — anchored on the `(...) -> ... {` signature shape so attribute strings
+# containing '=' (e.g. execution_thread="...") can't hide a header, and
+# instruction lines (always `name = type opcode(...)`) can't fake one
+_HEADER_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->.*\{$")
+
+
+def _fusion_body_names(hlo_text):
+    """Names of computations called by `fusion(...)` instructions — their
+    interiors live in registers/VMEM and must not be counted.  Collected
+    from the call sites (robust to whatever the compiler names the bodies),
+    not from the literal 'fused_computation' naming convention."""
+    names = set()
+    for line in hlo_text.splitlines():
+        clean = re.sub(r"\{[^{}]*\}", "", line)
+        m = _INSTR_RE.match(clean)
+        if m and m.group(3) == "fusion":
+            cm = re.search(r"calls=%?([\w.\-]+)", line)
+            if cm:
+                names.add(cm.group(1))
+    return names
+
 
 def traffic_table(hlo_text, top=15, opcode_filter=None):
     """-> (rows, by_opcode, total_bytes): per-instruction top list and
@@ -59,15 +81,15 @@ def traffic_table(hlo_text, top=15, opcode_filter=None):
     ``by_opcode`` additionally carries 'dtype:<d>' pseudo-keys splitting the
     total by element type (the f32-vs-bf16 decision input)."""
     rows, by_op, by_dtype = [], {}, {}
+    fusion_bodies = _fusion_body_names(hlo_text)
     in_fusion_body = False
     for line in hlo_text.splitlines():
         stripped = line.strip()
-        if stripped.endswith("{") and "=" not in stripped:
-            # computation header: `%name (params) -> type {` or `ENTRY ...{`
-            name = stripped.split("(", 1)[0].strip().lstrip("%")
+        hm = _HEADER_RE.match(stripped)
+        if hm:
             # region_* computations back while/cond/reduce bodies — counted
             # (they execute); only pure fusion interiors are skipped
-            in_fusion_body = "fused_computation" in name
+            in_fusion_body = hm.group(1) in fusion_bodies
             continue
         if in_fusion_body:
             continue
@@ -143,6 +165,8 @@ def main(argv=None):
     ap.add_argument("--ce-impl", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--refine-res", choices=["full", "stride8"],
                     default="stride8")  # match bench's adopted default
+    ap.add_argument("--resize-method", choices=["matmul", "gather"],
+                    default="matmul")  # match bench's adopted default
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--opcode", default=None,
                     help="restrict the top-instruction list to ops whose "
@@ -167,7 +191,8 @@ def main(argv=None):
         state, step = bench._build(remat=args.remat,
                                    refine_dtype=args.refine_dtype,
                                    ce_impl=args.ce_impl,
-                                   refine_res=args.refine_res)
+                                   refine_res=args.refine_res,
+                                   resize_method=args.resize_method)
         batch = bench._device_batch(__import__("numpy").random.RandomState(0))
         compiled = step.lower(state, batch,
                               jax.random.PRNGKey(0)).compile()

@@ -36,6 +36,8 @@ def main(argv=None):
                    default="bfloat16")
     p.add_argument("--refine-res", choices=["full", "stride8"],
                    default="stride8")
+    p.add_argument("--resize-method", choices=["matmul", "gather"],
+                   default="matmul")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     import jax
@@ -47,10 +49,13 @@ def main(argv=None):
 
     from dasac_tpu.aug import pipelines
     from dasac_tpu.core.state import create_train_state
+    from dasac_tpu.nn import functional as nn_functional
     from dasac_tpu.nn.factory import build_model
     from dasac_tpu.sac import core as sac_core
     from dasac_tpu.sac import refine as sac_refine
     from dasac_tpu.train import optim, steps
+
+    nn_functional.RESIZE_METHOD = args.resize_method  # trace-time global
 
     hw = tuple(args.hw)
     B, G, T = args.batch, args.groups, args.group_size
@@ -104,6 +109,7 @@ def main(argv=None):
     t_logits = jax.jit(stage_teacher)(views)
 
     _rd = jnp.bfloat16 if args.refine_dtype == "bfloat16" else None
+    _rd_pl = jnp.bfloat16 if args.refine_dtype == "bfloat16" else jnp.float32
 
     def stage_refine(tl, v, rc):
         refined, diags = sac_refine.refine(
@@ -113,7 +119,7 @@ def main(argv=None):
                                           0.99, 1e-3)
         pseudo, conf, _ = sac_core.pseudo_labels(
             refined, v.padding, rc, upper=0.75, lower=0.2,
-            threshold_beta=1e-3)
+            threshold_beta=1e-3, compute_dtype=_rd_pl)
         return pseudo, conf, rc
 
     def stage_src_grad(params, f, l):

@@ -132,6 +132,15 @@ class Checkpointer:
                 slow_init=jax.numpy.asarray(
                     np.asarray(extras["slow_init"]).reshape(())[()],
                     jax.numpy.float32))
+        opt = data.get("opt") if isinstance(data, dict) else None
+        if opt and not _is_empty(state_template.opt_state):
+            # training resume: continue the reference's SGD momentum
+            # (reference utils/checkpoints.py:54) instead of restarting it
+            from dasac_tpu.tools.export_torch import import_opt_state
+
+            new_opt, n_m = import_opt_state(opt, state.opt_state, arch)
+            if n_m:
+                state = state.replace(opt_state=new_opt)
         epoch = int(data.get("epoch", 0)) if isinstance(data, dict) else 0
         score = float(data.get("score", -1e16)) if isinstance(data, dict) else -1e16
         return state, epoch, score

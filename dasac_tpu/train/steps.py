@@ -432,7 +432,15 @@ def make_target_eval_step(model, scfg: StepConfig,
                           axis_name: Optional[str] = None):
     """Target-group eval: confusions for the reference's four layers
     (logits_up / teacher_init / teacher_refined / teacher_labels,
-    train.py:388)."""
+    train.py:388).
+
+    The refine/pseudo-label chain runs with the SAME refine_res /
+    refine_dtype the train step uses, so teacher_refined/teacher_labels
+    measure the labels training actually consumes (not a reference-exact
+    f32 full-res variant the run never sees)."""
+
+    _rd = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else None
+    _rd_pl = jnp.bfloat16 if scfg.refine_dtype == "bfloat16" else jnp.float32
 
     def step(state, tgt_images, tgt_labels, rng):
         views = pipelines.augment_target_groups(
@@ -452,11 +460,13 @@ def make_target_eval_step(model, scfg: StepConfig,
                                      train=False, update_stats=False)
         refined, _ = sac_refine.refine(
             t_logits, views.affine, views.affine_inv, views.padding,
-            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)
+            group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on,
+            compute_dtype=_rd, res=scfg.refine_res)
         pseudo, _, _ = sac_core.pseudo_labels(
             refined, views.padding, state.running_conf,
             upper=scfg.run_conf_upper, lower=scfg.run_conf_lower,
-            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount)
+            threshold_beta=scfg.threshold_beta, discount=scfg.conf_discount,
+            compute_dtype=_rd_pl)
 
         confs = {
             "logits_up": confusion_matrix(
@@ -495,6 +505,10 @@ def make_visual_step(model, scfg: StepConfig):
             {"params": state.teacher_params,
              "batch_stats": state.teacher_stats},
             views.frames_clean, train=False, update_stats=False)
+        # visualisation intentionally uses the full-res f32 chain regardless
+        # of TPU.REFINE_RES/REFINE_DTYPE: the panels need the full-resolution
+        # teacher_aligned maps, which the stride8 path does not materialise
+        # (and this step runs once per ITER_TB, so its cost is irrelevant)
         refined, rdiags = sac_refine.refine(
             t_logits, views.affine, views.affine_inv, views.padding,
             group_size=scfg.group_size, pool=scfg.pool, pool_on=scfg.pool_on)

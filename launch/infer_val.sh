@@ -29,7 +29,7 @@ CMD="python infer_val.py --cfg configs/${CFG_NAME}.yaml \
   --infer-list data/${FILELIST}.txt --mask-output-dir $SAVE_DIR \
   --scales $SCALES $FLIP_FLAG $SPATIAL_FLAG"
 echo "$CMD"
-if [ -n "$DRYRUN" ]; then
+if [ -n "${DASAC_DRYRUN:-}" ]; then
   # test hook: print the dispatched command without launching
   exit 0
 fi

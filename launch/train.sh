@@ -63,7 +63,7 @@ mkdir -p "$LOG_DIR"
 
 CMD="python train.py --dataloader $DS --cfg $CFG --exp $EXP --run $EXP_ID $RESUME_OPT --set $SETS"
 echo "$CMD"
-if [ -n "$DRYRUN" ]; then
+if [ -n "${DASAC_DRYRUN:-}" ]; then
   # test hook: print the dispatched command without launching
   exit 0
 fi

@@ -75,6 +75,28 @@ def test_synthia_16bit_gt_detected_via_real_decoder(tmp_path):
     assert msgs and "convert_train_ids" in msgs[0], failures
 
 
+def test_16bit_grayscale_trainid_mask_judged_by_loader_behavior(tmp_path):
+    # a trainId mask saved at 16-bit depth is NOT blanket-rejected as "raw
+    # SYNTHIA GT": it is accepted iff the training loader's 8-bit PIL path
+    # reads the same values, else failed with a re-save hint (never with
+    # the misleading convert_train_ids hint)
+    root = _root(tmp_path)
+    ids = np.where(np.arange(32 * 48).reshape(32, 48) % 7 == 0,
+                   255, 11).astype(np.uint16)
+    p = os.path.join(root, "labels", "src_000.png")
+    _write_png16(p, ids[..., None], color_type=0)
+    with Image.open(p) as m:
+        faithful = bool(
+            (np.asarray(m.convert("L")).astype(np.uint8) == ids).all())
+    report, failures = CD.check_root(root, "gta", spot=4, verbose=False)
+    msgs = [f for f in failures if "src_000" in f]
+    if faithful:
+        assert not msgs, failures
+    else:
+        assert msgs and "re-save it as 8-bit" in msgs[0], failures
+        assert "convert_train_ids" not in msgs[0], failures
+
+
 def test_stale_pack_flagged(tmp_path):
     root = _root(tmp_path)
     pdir = os.path.join(root, "packed")

@@ -187,3 +187,60 @@ def test_export_momentum_resumes_reference_optimizer():
     moved = [k for k, v in named.items()
              if not torch.equal(before[k], v.detach())]
     assert moved, "momentum buffers did not drive the resume step"
+
+
+def test_momentum_import_roundtrip_through_pth(tmp_path):
+    """The OTHER interop direction: Checkpointer.load of a reference-format
+    .pth carrying an 'opt' state_dict restores every SGD momentum buffer
+    into our optax traces (reference-side training resumes into OUR stack
+    without restarting momentum)."""
+    import optax
+
+    from dasac_tpu.train.checkpoints import Checkpointer
+    from dasac_tpu.train.optim import build_optimizer
+    from dasac_tpu.utils.collections import AttrDict
+
+    arch = "deeplabv2_vgg16_bn"
+    mcfg = AttrDict()
+    for k, v in dict(LR=1e-3, WEIGHT_DECAY=5e-4, MOMENTUM=0.9, OPT="SGD",
+                     OPT_NESTEROV=False, BETA1=0.9).items():
+        mcfg[k] = v
+
+    model, state = _rand_state(arch)
+    tx, _ = build_optimizer(mcfg, arch, state.params)
+    opt_state = tx.init(state.params)
+    leaves, treedef = jax.tree_util.tree_flatten(state.params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    grads = treedef.unflatten([
+        0.1 * jax.random.normal(kk, l.shape, l.dtype)
+        for l, kk in zip(leaves, keys)])
+    _, opt_state = tx.update(grads, opt_state, state.params)
+    state = state.replace(opt_state=opt_state)
+
+    snap = export_torch.export_snapshot(state, arch, model_cfg=mcfg)
+    pth = str(tmp_path / "resume.pth")
+    torch.save(snap, pth)
+
+    # fresh template with a real optimizer (zero-init traces)
+    template = create_train_state(model, tx, 19, (32, 48, 3),
+                                  rng=jax.random.PRNGKey(11))
+    ck = Checkpointer(str(tmp_path), max_n=1)
+    ck.arch = arch
+    loaded, _, _ = ck.load(pth, template)
+
+    want = export_torch._extract_momentum(state.opt_state)
+    got = export_torch._extract_momentum(loaded.opt_state)
+    assert set(got) == set(want) and want
+    nonzero = 0
+    for key in want:
+        np.testing.assert_allclose(np.asarray(got[key], np.float32),
+                                   np.asarray(want[key], np.float32),
+                                   rtol=1e-6, atol=1e-7, err_msg=key)
+        nonzero += bool(np.abs(np.asarray(want[key])).max() > 0)
+    assert nonzero == len(want)  # every trace moved, none left at init
+
+    # a template WITHOUT an optimizer (inference) must still load cleanly
+    infer_template = create_train_state(model, NullTx(), 19, (32, 48, 3),
+                                        rng=jax.random.PRNGKey(12))
+    loaded2, _, _ = ck.load(pth, infer_template)
+    assert len(jax.tree.leaves(loaded2.opt_state)) == 0

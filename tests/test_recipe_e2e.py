@@ -122,7 +122,7 @@ def test_three_stage_recipe(tmp_path):
 
 def _dispatch(env, *args):
     p = subprocess.run(["bash", "launch/train.sh", *args],
-                       env={**os.environ, "DRYRUN": "1", **env},
+                       env={**os.environ, "DASAC_DRYRUN": "1", **env},
                        cwd=REPO, capture_output=True, text=True)
     return p.returncode, p.stdout + p.stderr
 
@@ -161,7 +161,7 @@ def test_launch_infer_dispatch(tmp_path):
     """launch/infer_val.sh dispatch (reference launch/infer_val.sh:1-63):
     snapshot guard, config/list selection, flag plumbing."""
     p = subprocess.run(["bash", "launch/infer_val.sh"],
-                       env={**os.environ, "DRYRUN": "1", "SNAPSHOT_PATH": ""},
+                       env={**os.environ, "DASAC_DRYRUN": "1", "SNAPSHOT_PATH": ""},
                        cwd=REPO, capture_output=True, text=True)
     assert p.returncode != 0 and "SNAPSHOT_PATH" in p.stdout + p.stderr
 
@@ -170,7 +170,7 @@ def test_launch_infer_dispatch(tmp_path):
     p = subprocess.run(
         ["bash", "launch/infer_val.sh", "deeplabv2_vgg16_train",
          "train_cityscapes"],
-        env={**os.environ, "DRYRUN": "1", "SNAPSHOT_PATH": str(snap),
+        env={**os.environ, "DASAC_DRYRUN": "1", "SNAPSHOT_PATH": str(snap),
              "OUTPUT_DIR": str(tmp_path / "out"), "FLIP": "1",
              "SPATIAL": "1"},
         cwd=REPO, capture_output=True, text=True)

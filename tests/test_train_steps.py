@@ -185,6 +185,27 @@ def test_target_eval_step_layers():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_target_eval_step_uses_training_refine_modes():
+    """With the shipped stride8/bf16 defaults, teacher_refined /
+    teacher_labels must measure the refine chain training actually uses —
+    not the reference-exact full-res f32 variant."""
+    model, tx, state, scfg = _setup()
+    scfg = scfg._replace(refine_res="stride8", refine_dtype="bfloat16")
+    ev = jax.jit(steps.make_target_eval_step(model, scfg))
+    _, _, tgt_img, tgt_lbl = _batch()
+    confs = ev(state, tgt_img, tgt_lbl, jax.random.PRNGKey(5))
+    for k, v in confs.items():
+        assert v.shape == (C, C)
+        assert np.isfinite(np.asarray(v)).all()
+    # pixel budget identical to the full-res path: confusions are computed
+    # at full resolution after the final upsample
+    full = jax.jit(steps.make_target_eval_step(model, scfg._replace(
+        refine_res="full", refine_dtype="float32")))(
+        state, tgt_img, tgt_lbl, jax.random.PRNGKey(5))
+    assert int(np.asarray(confs["teacher_refined"]).sum()) == int(
+        np.asarray(full["teacher_refined"]).sum())
+
+
 def test_sharded_abn_step_runs_on_mesh():
     mesh = make_mesh()
     model, tx, state, scfg = _setup(axis_name="data")
