@@ -115,6 +115,17 @@ __C.TB.IM_SIZE = (256, 256)
 __C.TPU = AttrDict()
 # number of devices along the data-parallel mesh axis; 0 = all visible devices
 __C.TPU.MESH_DEVICES = 0
+# multi-device partitioning strategy: "shard_map" (per-shard step bodies
+# with explicit in-step collectives — reference-DDP semantics, pod-ready) or
+# "gspmd" (ONE global-batch step jitted with input shardings over a 2-D
+# (data, sp) mesh; XLA partitions the computation, inserting conv halo
+# exchanges — single-device semantics at any mesh shape, single process)
+__C.TPU.PARTITION = "shard_map"
+# gspmd only: devices along the spatial (image-height) mesh axis; the crop
+# height shards over it, letting crops too large for one chip's HBM train
+# across chips (the training counterpart of infer_val --spatial); total
+# devices = data x sp
+__C.TPU.MESH_SP = 1
 # compute dtype for conv/matmul activations ("bfloat16" or "float32");
 # parameters and BN statistics are always float32
 __C.TPU.COMPUTE_DTYPE = "bfloat16"

@@ -10,8 +10,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dasac_tpu.core.mesh import (DATA_AXIS, make_mesh, replicated,
-                                 shard_batch)
+from dasac_tpu.core.mesh import (DATA_AXIS, make_mesh, make_mesh_2d,
+                                 replicated, shard_batch,
+                                 spatial_batch_sharding)
 from dasac_tpu.core.state import create_train_state
 from dasac_tpu.data.factory import Loaders
 from dasac_tpu.nn import convert
@@ -34,26 +35,47 @@ class Trainer:
         self.n_proc = jax.process_count()
         self.is_main = jax.process_index() == 0
         n_dev = cfg.TPU.MESH_DEVICES
-        if self.n_proc > 1:
-            # pod: the mesh MUST span every process's devices; the global
-            # batch dims have to divide the device count
-            n_dev = len(jax.devices())
-            for name, v in (("TRAIN.BATCH_SIZE", cfg.TRAIN.BATCH_SIZE),
-                            ("TRAIN.NUM_GROUPS", cfg.TRAIN.NUM_GROUPS)):
-                assert v % n_dev == 0, (
-                    "{}={} must be divisible by the {}-device pod".format(
-                        name, v, n_dev))
-        elif not n_dev:
-            # auto: largest device count dividing both batch dimensions
-            n_dev = _auto_mesh_size(len(jax.devices()),
-                                    cfg.TRAIN.BATCH_SIZE,
-                                    cfg.TRAIN.NUM_GROUPS)
-        self.mesh = make_mesh(n_dev)
+        self.gspmd = cfg.TPU.PARTITION == "gspmd"
+        if self.gspmd:
+            # GSPMD mode: one global-batch program partitioned by XLA over
+            # a (data, sp) mesh — image height shards over 'sp' (conv halo
+            # exchanges), batch over 'data'.  Single-process only: pods use
+            # the shard_map mode.
+            assert self.n_proc == 1, (
+                "TPU.PARTITION=gspmd is single-process; use shard_map on "
+                "pods")
+            n_sp = max(1, int(cfg.TPU.MESH_SP))
+            if not n_dev:
+                n_dev = n_sp * _auto_mesh_size(len(jax.devices()) // n_sp,
+                                               cfg.TRAIN.BATCH_SIZE,
+                                               cfg.TRAIN.NUM_GROUPS)
+            assert n_dev % n_sp == 0, (
+                "TPU.MESH_DEVICES=%d must be divisible by TPU.MESH_SP=%d"
+                % (n_dev, n_sp))
+            self.mesh = make_mesh_2d(n_dev // n_sp, n_sp)
+        else:
+            if self.n_proc > 1:
+                # pod: the mesh MUST span every process's devices; the
+                # global batch dims have to divide the device count
+                n_dev = len(jax.devices())
+                for name, v in (("TRAIN.BATCH_SIZE", cfg.TRAIN.BATCH_SIZE),
+                                ("TRAIN.NUM_GROUPS", cfg.TRAIN.NUM_GROUPS)):
+                    assert v % n_dev == 0, (
+                        "{}={} must be divisible by the {}-device pod".format(
+                            name, v, n_dev))
+            elif not n_dev:
+                # auto: largest device count dividing both batch dimensions
+                n_dev = _auto_mesh_size(len(jax.devices()),
+                                        cfg.TRAIN.BATCH_SIZE,
+                                        cfg.TRAIN.NUM_GROUPS)
+            self.mesh = make_mesh(n_dev)
         self.n_dev = int(self.mesh.devices.size)
-        self.sharded = self.n_dev > 1
+        self.sharded = self.n_dev > 1 and not self.gspmd
         axis = DATA_AXIS if self.sharded else None
         print("Mesh: {} device(s) / {} process(es){}".format(
             self.n_dev, self.n_proc,
+            " (gspmd {})".format("x".join(map(str, self.mesh.devices.shape)))
+            if self.gspmd else
             " (data-parallel)" if self.sharded else ""))
 
         # multi-host (pod): each process decodes its slice of every batch;
@@ -143,11 +165,17 @@ class Trainer:
         else:
             per_shard = steps_lib.make_sac_step(self.model, self.tx,
                                                 self.scfg, axis)
-        if self.sharded:
+        if self.gspmd:
+            self.train_step = steps_lib.gspmd_train_step(per_shard,
+                                                         self.mesh)
+        elif self.sharded:
             self.train_step = steps_lib.shard_train_step(per_shard, self.mesh)
         else:
             self.train_step = jax.jit(per_shard, donate_argnums=(0,))
-        if self.sharded:
+        if self.gspmd:
+            self.eval_step = steps_lib.gspmd_eval_step(
+                steps_lib.make_eval_step(self.model, self.scfg), self.mesh)
+        elif self.sharded:
             self.eval_step = steps_lib.shard_eval_step(
                 steps_lib.make_eval_step(self.model, self.scfg, axis),
                 self.mesh)
@@ -158,7 +186,11 @@ class Trainer:
         # single-device trainer's target validation
         self.eval_step_local = jax.jit(
             steps_lib.make_eval_step(self.model, self.scfg))
-        if self.sharded:
+        if self.gspmd:
+            self.target_eval_step = steps_lib.gspmd_target_eval_step(
+                steps_lib.make_target_eval_step(self.model, self.scfg),
+                self.mesh)
+        elif self.sharded:
             # groups shard over the mesh exactly like the train step, and
             # each process decodes only its slice (no pod-wide redundancy)
             self.target_eval_step = steps_lib.shard_target_eval_step(
@@ -205,6 +237,9 @@ class Trainer:
             lambda x: jnp.asarray(x.addressable_shards[0].data), self.state)
 
     def _place(self, batch):
+        if self.gspmd:
+            return shard_batch(self.mesh, batch,
+                               spatial_batch_sharding(self.mesh))
         if self.sharded:
             return shard_batch(self.mesh, batch)
         return jax.tree.map(jnp.asarray, batch)
@@ -326,7 +361,8 @@ class Trainer:
         # sharded: groups spread over the mesh and each process decodes only
         # its slice (the step psums the confusions).  Unsharded: plain jits
         # on full batches with a host-local state copy.
-        local_state = None if self.sharded else self._host_local_state()
+        on_mesh = self.sharded or self.gspmd
+        local_state = None if on_mesh else self._host_local_state()
         _, tgt_loader = self.loaders.train_loaders(
             epoch, replicated_eval=not self.sharded)
         confs = None
@@ -337,7 +373,7 @@ class Trainer:
             if bi == 0:
                 first_batch = (imgs, lbls)
                 self.fixed.save("train_target", (imgs, lbls))
-            if self.sharded:
+            if on_mesh:
                 imgs_g, lbls_g = self._place((imgs, lbls.astype(np.int32)))
                 if baseline:
                     c = {"logits_up": self.eval_step(

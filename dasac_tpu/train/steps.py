@@ -578,3 +578,52 @@ def shard_eval_step(step_fn, mesh, axis_name="data"):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD wrappers (TPU.PARTITION = "gspmd")
+# ---------------------------------------------------------------------------
+# The alternative to shard_map: the step stays the GLOBAL-batch program
+# (axis_name=None — the exact single-device semantics), jitted with input
+# shardings over a 2-D (data, sp) mesh.  XLA's SPMD partitioner splits every
+# op, all-reduces the gradients against the replicated parameters, and
+# inserts conv halo exchanges where the image height is sharded — so crops
+# too large for one chip's HBM can train across chips (the training
+# counterpart of infer_val --spatial; no reference counterpart —
+# DistributedDataParallel only splits batches).  shard_map mode instead
+# reproduces the reference's per-GPU-batch DDP semantics and supports
+# multi-process pods.
+
+
+def _gspmd_shardings(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dasac_tpu.core.mesh import DATA_AXIS, SP_AXIS
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(
+        DATA_AXIS, SP_AXIS if SP_AXIS in mesh.axis_names else None))
+    return repl, batch
+
+
+def gspmd_train_step(step_fn, mesh):
+    """jit a global-batch train step (built with ``axis_name=None``) over
+    the mesh: state/rng replicated, every batch leaf sharded batch-over-data
+    and height-over-sp."""
+    repl, batch = _gspmd_shardings(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(repl, (batch, batch, batch, batch), repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def gspmd_eval_step(step_fn, mesh):
+    repl, batch = _gspmd_shardings(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, batch, batch),
+                   out_shardings=repl)
+
+
+def gspmd_target_eval_step(step_fn, mesh):
+    repl, batch = _gspmd_shardings(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, batch, batch, repl),
+                   out_shardings=repl)
