@@ -35,6 +35,9 @@ class Trainer:
         self.n_proc = jax.process_count()
         self.is_main = jax.process_index() == 0
         n_dev = cfg.TPU.MESH_DEVICES
+        assert cfg.TPU.PARTITION in ("shard_map", "gspmd"), (
+            "unknown TPU.PARTITION %r (expected 'shard_map' or 'gspmd')"
+            % (cfg.TPU.PARTITION,))
         self.gspmd = cfg.TPU.PARTITION == "gspmd"
         if self.gspmd:
             # GSPMD mode: one global-batch program partitioned by XLA over

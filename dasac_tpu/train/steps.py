@@ -596,14 +596,10 @@ def shard_eval_step(step_fn, mesh, axis_name="data"):
 
 
 def _gspmd_shardings(mesh):
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # single source of truth with Trainer._place's batch placement
+    from dasac_tpu.core.mesh import replicated, spatial_batch_sharding
 
-    from dasac_tpu.core.mesh import DATA_AXIS, SP_AXIS
-
-    repl = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P(
-        DATA_AXIS, SP_AXIS if SP_AXIS in mesh.axis_names else None))
-    return repl, batch
+    return replicated(mesh), spatial_batch_sharding(mesh)
 
 
 def gspmd_train_step(step_fn, mesh):

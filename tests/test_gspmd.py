@@ -55,22 +55,31 @@ def test_gspmd_sac_step_matches_single_device(mesh_shape):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_gspmd_multi_step_trains():
-    """Three SAC steps across a teacher EMA update on the (2, 4) mesh:
-    state stays finite, the step counter advances, pseudo coverage is
-    nonzero, and outputs stay replicated (host readback works)."""
+def test_gspmd_multi_step_matches_single_device_trajectory():
+    """Three SAC steps across a teacher EMA update on the (2, 4) mesh track
+    the single-device trajectory step for step — including whatever pseudo
+    coverage the run produces (so a dead target branch under partitioning
+    would diverge from the reference trajectory and fail)."""
     mesh = _mesh_or_skip(2, 4)
     model, tx, state, scfg = _setup()  # net_momentum_iter=3
+    ref_step = jax.jit(steps.make_sac_step(model, tx, scfg))
+    _, _, g_state, _ = _setup()
     step = steps.gspmd_train_step(steps.make_sac_step(model, tx, scfg), mesh)
     sharding = spatial_batch_sharding(mesh)
     for i in range(3):
-        batch = shard_batch(mesh, _batch(n_src=4, n_grp=4, seed=i), sharding)
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        for k, v in metrics.items():
-            assert np.isfinite(np.asarray(v)).all(), k
-    assert int(state.step) == 3
-    assert float(state.slow_init) == 1.0
-    assert float(metrics["pseudo_cover"]) >= 0.0
+        batch = _batch(n_src=4, n_grp=4, seed=i)
+        state, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(i))
+        g_state, metrics = step(g_state, shard_batch(mesh, batch, sharding),
+                                jax.random.PRNGKey(i))
+        for k in ("src_loss_ce", "self_ce", "pseudo_cover", "teacher_diff"):
+            np.testing.assert_allclose(
+                float(np.mean(metrics[k])), float(np.mean(ref_metrics[k])),
+                rtol=5e-4, atol=5e-5, err_msg="step %d %s" % (i, k))
+    assert int(g_state.step) == 3
+    assert float(g_state.slow_init) == 1.0
+    np.testing.assert_allclose(np.asarray(g_state.running_conf),
+                               np.asarray(state.running_conf),
+                               rtol=5e-4, atol=5e-5)
 
 
 def test_gspmd_eval_step_exact():
