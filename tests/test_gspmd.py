@@ -82,6 +82,30 @@ def test_gspmd_multi_step_matches_single_device_trajectory():
                                rtol=5e-4, atol=5e-5)
 
 
+def test_gspmd_abn_step_matches_single_device():
+    """MODEL.BASELINE=True routes make_abn_step through the same gspmd
+    wrapper — same equivalence contract as the SAC step."""
+    mesh = _mesh_or_skip(2, 4)
+    model, tx, state, scfg = _setup()
+    step_fn = steps.make_abn_step(model, tx, scfg)
+    batch = _batch(n_src=4, n_grp=4)
+    key = jax.random.PRNGKey(9)
+    ref_state, ref_metrics = jax.jit(step_fn)(state, batch, key)
+    _, _, state2, _ = _setup()
+    g_state, g_metrics = steps.gspmd_train_step(step_fn, mesh)(
+        state2, shard_batch(mesh, batch, spatial_batch_sharding(mesh)), key)
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(np.mean(g_metrics[k])),
+                                   float(np.mean(ref_metrics[k])),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.params),
+            jax.tree_util.tree_leaves_with_path(g_state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_gspmd_eval_step_exact():
     """Confusion matrices are integer counts — the GSPMD eval must agree
     EXACTLY with the single-device eval."""
