@@ -168,24 +168,35 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     of the reference's nn.DataParallel (infer_val.py:150) — with host decode
     prefetched one batch ahead and PNG export async behind.
 
-    ``spatial=True`` shards the image HEIGHT over the mesh instead of the
-    batch (GSPMD inserts the conv halo exchanges): all chips cooperate on
-    each full-resolution frame, cutting per-image latency where batching
-    cannot (no reference counterpart — nn.DataParallel only splits batches).
-    Heights that do not tile the mesh are edge-padded to the next multiple
-    and the output sliced back — the forward then runs at a marginally
-    taller canvas (sub-pixel interpolation shifts; bit-identical at
-    divisible sizes).
+    ``spatial`` shards the image HEIGHT over the mesh (GSPMD inserts the
+    conv halo exchanges), cutting per-image latency where batching cannot
+    (no reference counterpart — nn.DataParallel only splits batches).
+    ``True`` (or -1) puts ALL chips on one frame; an int N builds a
+    combined 2-D ``(data, sp)`` mesh — N chips cooperate per frame while
+    ``devices/N`` frames run in parallel (the throughput/latency
+    trade-off dial).  Heights that do not tile the sp axis are edge-padded
+    to the next multiple and the output sliced back — the forward then
+    runs at a marginally taller canvas (sub-pixel interpolation shifts;
+    bit-identical at divisible sizes).
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from dasac_tpu.data import host_loader
 
     devices = jax.local_devices()
+    n_sp = 0
     if spatial:
-        b = batch_size or 1
-        mesh = Mesh(np.array(devices), ("sp",))
-        shard = NamedSharding(mesh, P(None, "sp"))
+        n_sp = (len(devices) if spatial is True or int(spatial) < 0
+                else int(spatial))
+        assert len(devices) % n_sp == 0, (
+            "spatial=%d must divide the %d-device mesh"
+            % (n_sp, len(devices)))
+        n_data = len(devices) // n_sp
+        b = batch_size or n_data
+        b = max(n_data, (b // n_data) * n_data)
+        mesh = Mesh(np.array(devices).reshape(n_data, n_sp),
+                    ("data", "sp"))
+        shard = NamedSharding(mesh, P("data", "sp"))
     else:
         b = batch_size or len(devices)
         devices = devices[:min(len(devices), b)]
@@ -212,13 +223,13 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
                                              prefetch=2)
 
     for bi, (imgs, masks) in enumerate(loader):
-        # spatial sharding requires the height to tile the mesh evenly
+        # spatial sharding requires the height to tile the sp axis evenly
         # (GTA's canonical 1052 px does not at 8 devices): pad
         # edge-replicated rows up to the next multiple and slice them off
         # the output.  The extra rows only perturb the receptive-field
         # context of the last few true rows.
         h_img = imgs.shape[1]
-        h_pad = (-h_img % len(devices)) if spatial else 0
+        h_pad = (-h_img % n_sp) if n_sp else 0
         if h_pad:
             imgs = np.pad(imgs, ((0, 0), (0, h_pad), (0, 0), (0, 0)),
                           mode="edge")

@@ -30,9 +30,13 @@ def main(argv=None):
                     help="frame size (default: Cityscapes val)")
     ap.add_argument("--mode", choices=["batch", "spatial", "single"],
                     default="batch")
+    ap.add_argument("--sp", type=int, default=0,
+                    help="spatial mode: chips per frame (0 = all devices; "
+                         "N < devices = combined (devices/N, N) mesh with "
+                         "devices/N frames in parallel)")
     ap.add_argument("--batch", type=int, default=0,
-                    help="frames per step (0 = one per device; always 1 "
-                         "in spatial/single mode)")
+                    help="frames per step (0 = one per device; data-axis "
+                         "size in spatial mode; 1 in single mode)")
     ap.add_argument("--scales", type=float, nargs="+", default=[1.0])
     ap.add_argument("--flip", action="store_true")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
@@ -51,9 +55,12 @@ def main(argv=None):
 
     devices = jax.local_devices()
     if args.mode == "spatial":
-        b = 1
-        mesh = Mesh(np.array(devices), ("sp",))
-        shard = NamedSharding(mesh, P(None, "sp"))
+        n_sp = args.sp or len(devices)
+        assert len(devices) % n_sp == 0
+        n_data = len(devices) // n_sp
+        b = max(n_data, ((args.batch or n_data) // n_data) * n_data)
+        mesh = Mesh(np.array(devices).reshape(n_data, n_sp), ("data", "sp"))
+        shard = NamedSharding(mesh, P("data", "sp"))
     elif args.mode == "single":
         b = max(1, args.batch)
         mesh = Mesh(np.array(devices[:1]), ("data",))
@@ -79,9 +86,10 @@ def main(argv=None):
                        in_shardings=(repl, shard), out_shardings=shard)
 
     h, w = args.hw
-    assert args.mode != "spatial" or h % len(devices) == 0, (
-        "spatial mode: height %d must tile the %d-device mesh"
-        % (h, len(devices)))
+    if args.mode == "spatial":
+        assert h % mesh.devices.shape[1] == 0, (
+            "spatial mode: height %d must tile the %d-chip sp axis"
+            % (h, mesh.devices.shape[1]))
     rng = np.random.RandomState(0)
     frames = jax.device_put(
         (rng.rand(b, h, w, 3) * 255).astype(np.uint8), shard)
@@ -105,6 +113,7 @@ def main(argv=None):
         "latency_ms_per_frame": round(per_step * 1e3 / b, 3),
         "mode": args.mode,
         "devices": len(mesh.devices.reshape(-1)),
+        "mesh": list(mesh.devices.shape),
         "batch": b,
         "hw": [h, w],
         "scales": args.scales,

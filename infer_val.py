@@ -36,10 +36,13 @@ def main(argv=None):
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--teacher", action="store_true",
                         help="use the EMA teacher weights")
-    parser.add_argument("--spatial", action="store_true",
+    parser.add_argument("--spatial", type=int, nargs="?", const=-1,
+                        default=0,
                         help="shard the image height over the mesh instead "
-                             "of the batch (all chips cooperate per frame — "
-                             "lowest single-image latency)")
+                             "of the batch; bare flag (or -1) = all chips "
+                             "cooperate per frame (lowest latency), N = a "
+                             "combined (devices/N, N) mesh — N chips per "
+                             "frame, devices/N frames in parallel")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     cfg_from_file(args.cfg_file)

@@ -25,3 +25,13 @@ def test_bench_infer_modes(mode, capsys):
         assert out["devices"] == 8 and out["batch"] == 8
     if mode == "single":
         assert out["devices"] == 1
+
+
+def test_bench_infer_combined_mesh(capsys):
+    rc = bench_infer.main(["--arch", "tiny", "--hw", "64", "64",
+                           "--mode", "spatial", "--sp", "4", "--iters", "2",
+                           "--dtype", "float32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mesh"] == [2, 4] and out["batch"] == 2
+    assert out["value"] > 0

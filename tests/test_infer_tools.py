@@ -185,6 +185,30 @@ def test_spatial_sharded_inference_matches_batch(root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_combined_data_spatial_inference_matches_batch(root, tmp_path):
+    """spatial=N builds a combined (devices/N, N) mesh: N chips cooperate
+    per frame while devices/N frames run in parallel — the
+    throughput/latency dial between the pure batch and pure spatial modes.
+    Results must equal the batch path exactly (divisible height)."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    out_b = str(tmp_path / "batch")
+    out_c = str(tmp_path / "combined")
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(1.0,), verbose=False)
+    conf_b = engine.run_inference(model, variables, ds, out_b,
+                                  batch_size=1, **kw)
+    assert len(jax.devices()) == 8
+    conf_c = engine.run_inference(model, variables, ds, out_c,
+                                  spatial=4, **kw)  # (2, 4) mesh
+    np.testing.assert_allclose(conf_b, conf_c, atol=1e-3)
+    for i in range(len(ds)):
+        a = np.asarray(Image.open(os.path.join(out_b, ds.name(i) + ".png")))
+        c = np.asarray(Image.open(os.path.join(out_c, ds.name(i) + ".png")))
+        np.testing.assert_array_equal(a, c)
+
+
 def test_spatial_inference_pads_non_divisible_height(tmp_path):
     """GTA's canonical 1052-px height does not tile an 8-device mesh; the
     spatial path must pad/slice instead of crashing device_put (the batch
