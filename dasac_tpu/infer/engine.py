@@ -156,6 +156,49 @@ class ResultWriter:
         self._pool.shutdown()
 
 
+def infer_mesh(batch_size=None, spatial=False):
+    """(mesh, shard, b, n_sp): the inference mesh layout for a mode —
+    shared by :func:`run_inference` and ``tools/bench_infer`` so the
+    serving benchmark measures exactly the layouts inference runs.
+
+    ``spatial`` False/0: 1-D 'data' mesh, batch ``b`` sharded over it
+    (devices trimmed to ``b`` when the batch is smaller, batch trimmed
+    DOWN to the nearest mesh multiple otherwise).  ``spatial`` True/-1:
+    ALL devices on one frame's height.  ``spatial`` N: combined 2-D
+    ``(data, sp)`` mesh — N chips per frame; the data axis honors a
+    smaller explicit ``batch_size`` by trimming devices, like the batch
+    path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.local_devices()
+    if spatial:
+        n_sp = (len(devices) if spatial is True or int(spatial) < 0
+                else int(spatial))
+        assert len(devices) % n_sp == 0, (
+            "spatial=%d must divide the %d-device mesh"
+            % (n_sp, len(devices)))
+        n_data = len(devices) // n_sp
+        if batch_size:
+            n_data = min(n_data, batch_size)
+        b = batch_size or n_data
+        b = max(n_data, (b // n_data) * n_data)
+        mesh = Mesh(np.array(devices[:n_data * n_sp]).reshape(n_data, n_sp),
+                    ("data", "sp"))
+        shard = NamedSharding(mesh, P("data", "sp"))
+    else:
+        n_sp = 0
+        b = batch_size or len(devices)
+        devices = devices[:min(len(devices), b)]
+        if b % len(devices) != 0:
+            # batch must tile the mesh evenly: trim the batch DOWN to the
+            # nearest multiple rather than collapsing to one device (a
+            # 12-image batch on 8 chips runs as 8, not as 12 on one chip)
+            b = (b // len(devices)) * len(devices)
+        mesh = Mesh(np.array(devices), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+    return mesh, shard, b, n_sp
+
+
 def run_inference(model, variables, dataset, out_dir, *, mean, std,
                   num_classes=19, scales=(1.0,), flip=False, save_cs=True,
                   save_raw=False, vis=False, workers=4, verbose=True,
@@ -179,34 +222,11 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     runs at a marginally taller canvas (sub-pixel interpolation shifts;
     bit-identical at divisible sizes).
     """
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dasac_tpu.data import host_loader
 
-    devices = jax.local_devices()
-    n_sp = 0
-    if spatial:
-        n_sp = (len(devices) if spatial is True or int(spatial) < 0
-                else int(spatial))
-        assert len(devices) % n_sp == 0, (
-            "spatial=%d must divide the %d-device mesh"
-            % (n_sp, len(devices)))
-        n_data = len(devices) // n_sp
-        b = batch_size or n_data
-        b = max(n_data, (b // n_data) * n_data)
-        mesh = Mesh(np.array(devices).reshape(n_data, n_sp),
-                    ("data", "sp"))
-        shard = NamedSharding(mesh, P("data", "sp"))
-    else:
-        b = batch_size or len(devices)
-        devices = devices[:min(len(devices), b)]
-        if b % len(devices) != 0:
-            # batch must tile the mesh evenly: trim the batch DOWN to the
-            # nearest multiple rather than collapsing to one device (a
-            # 12-image batch on 8 chips runs as 8, not as 12 on one chip)
-            b = (b // len(devices)) * len(devices)
-        mesh = Mesh(np.array(devices), ("data",))
-        shard = NamedSharding(mesh, P("data"))
+    mesh, shard, b, n_sp = infer_mesh(batch_size, spatial)
     repl = NamedSharding(mesh, P())
     variables = jax.device_put(variables, repl)
 

@@ -47,29 +47,23 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from dasac_tpu.core.cache import enable_repo_cache
     from dasac_tpu.core.config import cfg
-    from dasac_tpu.infer.engine import make_infer_fn
+    from dasac_tpu.infer.engine import infer_mesh, make_infer_fn
     from dasac_tpu.nn.factory import build_model
 
-    devices = jax.local_devices()
-    if args.mode == "spatial":
-        n_sp = args.sp or len(devices)
-        assert len(devices) % n_sp == 0
-        n_data = len(devices) // n_sp
-        b = max(n_data, ((args.batch or n_data) // n_data) * n_data)
-        mesh = Mesh(np.array(devices).reshape(n_data, n_sp), ("data", "sp"))
-        shard = NamedSharding(mesh, P("data", "sp"))
-    elif args.mode == "single":
-        b = max(1, args.batch)
-        mesh = Mesh(np.array(devices[:1]), ("data",))
-        shard = NamedSharding(mesh, P("data"))
-    else:
-        b = args.batch or len(devices)
-        b = max(len(devices), (b // len(devices)) * len(devices))
-        mesh = Mesh(np.array(devices), ("data",))
-        shard = NamedSharding(mesh, P("data"))
+    # shared .jax_cache: the flagship forward compiles in minutes through
+    # the remote-compile tunnel; cached invocations start in seconds
+    enable_repo_cache()
+
+    # the SAME layout dispatch run_inference uses (engine.infer_mesh):
+    # batch -> 1-D data mesh; spatial --sp N -> combined (devices/N, N);
+    # single -> batch mode trimmed to one device
+    mesh, shard, b, n_sp = infer_mesh(
+        batch_size=(1 if args.mode == "single" else args.batch or None),
+        spatial=(args.sp or -1) if args.mode == "spatial" else 0)
     repl = NamedSharding(mesh, P())
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -86,10 +80,10 @@ def main(argv=None):
                        in_shardings=(repl, shard), out_shardings=shard)
 
     h, w = args.hw
-    if args.mode == "spatial":
-        assert h % mesh.devices.shape[1] == 0, (
+    if n_sp:
+        assert h % n_sp == 0, (
             "spatial mode: height %d must tile the %d-chip sp axis"
-            % (h, mesh.devices.shape[1]))
+            % (h, n_sp))
     rng = np.random.RandomState(0)
     frames = jax.device_put(
         (rng.rand(b, h, w, 3) * 255).astype(np.uint8), shard)
@@ -99,10 +93,18 @@ def main(argv=None):
     probs = infer_fn(variables, frames)
     _ = float(jnp.sum(probs[0, 0, 0]))
 
+    # delayed one-step readback: fences step i-1 while step i executes, so
+    # at most TWO full-res softmax outputs are live on device (async
+    # dispatch of all iters would stack ~0.6 GB per step in HBM) while the
+    # pipeline never stalls on the host
+    prev = None
     t0 = time.monotonic()
     for _i in range(args.iters):
         probs = infer_fn(variables, frames)
-    _ = float(jnp.sum(probs[0, 0, 0]))           # fence the whole sequence
+        if prev is not None:
+            _ = float(jnp.sum(prev[0, 0, 0]))
+        prev = probs
+    _ = float(jnp.sum(prev[0, 0, 0]))            # fence the last step
     dt = time.monotonic() - t0
 
     per_step = dt / args.iters

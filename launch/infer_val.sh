@@ -12,7 +12,16 @@ OUTPUT_DIR=${OUTPUT_DIR:-./results}
 DATALOADER=${DATALOADER:-cityscapes}
 SCALES=${SCALES:-1.0}
 FLIP_FLAG=${FLIP:+--flip}
-SPATIAL_FLAG=${SPATIAL:+--spatial}
+# SPATIAL=1 -> all chips per frame (bare flag); SPATIAL=N>1 -> combined
+# (devices/N, N) mesh with N chips per frame
+SPATIAL_FLAG=""
+if [ -n "${SPATIAL:-}" ]; then
+  if [ "$SPATIAL" = "1" ]; then
+    SPATIAL_FLAG="--spatial"
+  else
+    SPATIAL_FLAG="--spatial $SPATIAL"
+  fi
+fi
 
 if [ -z "$SNAPSHOT_PATH" ] || [ ! -f "$SNAPSHOT_PATH" ]; then
   echo "[E] set SNAPSHOT_PATH to a .ckpt or reference .pth snapshot"
