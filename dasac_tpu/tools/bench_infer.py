@@ -54,6 +54,13 @@ def main(argv=None):
     from dasac_tpu.infer.engine import infer_mesh, make_infer_fn
     from dasac_tpu.nn.factory import build_model
 
+    try:  # repo-root bench.py: the published peak-FLOPs/BW tables
+        import bench as bench_lib
+    except ImportError:
+        class bench_lib:  # noqa: N801 — peaks unknown off-repo
+            _bf16_peak_flops = staticmethod(lambda d: None)
+            _hbm_peak_bw = staticmethod(lambda d: None)
+
     # shared .jax_cache: the flagship forward compiles in minutes through
     # the remote-compile tunnel; cached invocations start in seconds
     enable_repo_cache()
@@ -79,6 +86,10 @@ def main(argv=None):
                                      args.flip),
                        in_shardings=(repl, shard), out_shardings=shard)
 
+    # falsifiable utilization numbers, same method as bench.py: XLA
+    # cost_analysis FLOPs / bytes against the chip's published peaks
+    flops = hbm_bytes = None
+
     h, w = args.hw
     if n_sp:
         assert h % n_sp == 0, (
@@ -87,6 +98,17 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     frames = jax.device_put(
         (rng.rand(b, h, w, 3) * 255).astype(np.uint8), shard)
+
+    try:
+        compiled = infer_fn.lower(variables, frames).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+        hbm_bytes = float(cost.get("bytes accessed", 0.0)) or None
+        infer_fn = compiled  # reuse the AOT executable
+    except Exception:
+        pass
 
     probs = infer_fn(variables, frames)          # compile + warm
     _ = float(jnp.sum(probs[0, 0, 0]))           # readback = real fence
@@ -123,6 +145,18 @@ def main(argv=None):
         "arch": args.arch,
         "dtype": args.dtype,
     }
+    if flops:
+        out["step_flops_tf"] = round(flops / 1e12, 2)
+        peak = bench_lib._bf16_peak_flops(jax.devices()[0])
+        if peak:
+            out["mfu"] = round(flops / per_step / (
+                peak * len(mesh.devices.reshape(-1))), 3)
+    if hbm_bytes:
+        out["hbm_gb_per_step"] = round(hbm_bytes / 1e9, 1)
+        bw = bench_lib._hbm_peak_bw(jax.devices()[0])
+        if bw:
+            out["hbm_util"] = round(hbm_bytes / per_step / (
+                bw * len(mesh.devices.reshape(-1))), 3)
     print(json.dumps(out))
     return 0
 
