@@ -185,6 +185,34 @@ def test_spatial_sharded_inference_matches_batch(root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_infer_mesh_layout_contract():
+    """engine.infer_mesh is the single source of truth for the serving
+    layouts (run_inference AND tools/bench_infer): batch trims devices
+    down to a small batch / trims the batch down to a mesh multiple;
+    spatial honors an explicit smaller batch by trimming the data axis."""
+    import pytest
+
+    from dasac_tpu.infer.engine import infer_mesh
+
+    assert len(jax.devices()) == 8
+    mesh, _, b, n_sp = infer_mesh(None, 0)        # pure batch, default b
+    assert mesh.devices.shape == (8,) and b == 8 and n_sp == 0
+    mesh, _, b, _ = infer_mesh(4, 0)              # small batch trims devices
+    assert mesh.devices.shape == (4,) and b == 4
+    mesh, _, b, _ = infer_mesh(12, 0)             # non-multiple trims batch
+    assert mesh.devices.shape == (8,) and b == 8
+    mesh, _, b, n_sp = infer_mesh(None, True)     # pure spatial (bool compat)
+    assert mesh.devices.shape == (1, 8) and b == 1 and n_sp == 8
+    mesh, _, b, n_sp = infer_mesh(None, -1)       # pure spatial (CLI const)
+    assert mesh.devices.shape == (1, 8) and b == 1 and n_sp == 8
+    mesh, _, b, n_sp = infer_mesh(None, 4)        # combined
+    assert mesh.devices.shape == (2, 4) and b == 2 and n_sp == 4
+    mesh, _, b, _ = infer_mesh(1, 4)              # explicit b=1 trims data
+    assert mesh.devices.shape == (1, 4) and b == 1
+    with pytest.raises(AssertionError, match="must divide"):
+        infer_mesh(None, 3)
+
+
 def test_combined_data_spatial_inference_matches_batch(root, tmp_path):
     """spatial=N builds a combined (devices/N, N) mesh: N chips cooperate
     per frame while devices/N frames run in parallel — the
