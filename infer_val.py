@@ -36,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--teacher", action="store_true",
                         help="use the EMA teacher weights")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="total images per step (default: one per chip); "
+                             "values above the chip count put several images "
+                             "on each chip — measured +21%% serving "
+                             "throughput at batch 8 on one chip (PARITY.md)")
     parser.add_argument("--spatial", type=int, nargs="?", const=-1,
                         default=0,
                         help="shard the image height over the mesh instead "
@@ -90,7 +95,7 @@ def main(argv=None):
         mean=tuple(cfg.DATASET.MEAN), std=tuple(cfg.DATASET.STD),
         num_classes=num_classes, scales=tuple(args.scales), flip=args.flip,
         save_raw=args.save_raw, vis=args.vis, workers=args.workers or 4,
-        spatial=args.spatial)
+        batch_size=args.batch or None, spatial=args.spatial)
 
     if conf is not None:
         iou, pr, re = summarise(conf)

@@ -155,6 +155,32 @@ def test_mesh_parallel_inference_matches_single(root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_multi_image_per_chip_inference_matches_single(root, tmp_path):
+    """batch_size ABOVE the device count stacks several images per chip
+    (the serving throughput dial, infer_val.py --batch; +21% measured on
+    the real chip, PARITY.md): results must equal the batch-1 path with
+    the tail padded out (3 images, batch 16 -> 8 chips x 2)."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    out1 = str(tmp_path / "b1")
+    out16 = str(tmp_path / "b16")
+    kw = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+              scales=(1.0,), verbose=False)
+    conf1 = engine.run_inference(model, variables, ds, out1,
+                                 batch_size=1, **kw)
+    assert len(jax.devices()) == 8
+    mesh, _, b, _ = engine.infer_mesh(16, 0)
+    assert mesh.devices.shape == (8,) and b == 16  # 2 images per chip
+    conf16 = engine.run_inference(model, variables, ds, out16,
+                                  batch_size=16, **kw)
+    np.testing.assert_allclose(conf1, conf16, atol=1e-3)
+    for i in range(len(ds)):
+        a = np.asarray(Image.open(os.path.join(out1, ds.name(i) + ".png")))
+        b = np.asarray(Image.open(os.path.join(out16, ds.name(i) + ".png")))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_infer_dataset_static_shape(root):
     """Every sample decodes to ONE canonical shape (no per-image recompile)."""
     ds = engine.InferDataset(root, "val_cityscapes")
