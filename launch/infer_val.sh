@@ -12,6 +12,9 @@ OUTPUT_DIR=${OUTPUT_DIR:-./results}
 DATALOADER=${DATALOADER:-cityscapes}
 SCALES=${SCALES:-1.0}
 FLIP_FLAG=${FLIP:+--flip}
+# BATCH=N -> N images per step (above the chip count = several per chip,
+# the serving throughput dial; PARITY.md)
+BATCH_FLAG=${BATCH:+--batch $BATCH}
 # SPATIAL=1 -> all chips per frame (bare flag); SPATIAL=N>1 -> combined
 # (devices/N, N) mesh with N chips per frame
 SPATIAL_FLAG=""
@@ -36,7 +39,7 @@ mkdir -p "$SAVE_DIR"
 CMD="python infer_val.py --cfg configs/${CFG_NAME}.yaml \
   --dataloader $DATALOADER --resume $SNAPSHOT_PATH \
   --infer-list data/${FILELIST}.txt --mask-output-dir $SAVE_DIR \
-  --scales $SCALES $FLIP_FLAG $SPATIAL_FLAG"
+  --scales $SCALES $FLIP_FLAG $BATCH_FLAG $SPATIAL_FLAG"
 echo "$CMD"
 if [ -n "${DASAC_DRYRUN:-}" ]; then
   # test hook: print the dispatched command without launching

@@ -172,7 +172,7 @@ def test_launch_infer_dispatch(tmp_path):
          "train_cityscapes"],
         env={**os.environ, "DASAC_DRYRUN": "1", "SNAPSHOT_PATH": str(snap),
              "OUTPUT_DIR": str(tmp_path / "out"), "FLIP": "1",
-             "SPATIAL": "1"},
+             "SPATIAL": "1", "BATCH": "16"},
         cwd=REPO, capture_output=True, text=True)
     out = p.stdout + p.stderr
     assert p.returncode == 0, out
@@ -180,6 +180,7 @@ def test_launch_infer_dispatch(tmp_path):
     assert "--infer-list data/train_cityscapes.txt" in out
     assert "--resume %s" % snap in out
     assert "--flip" in out and "--spatial" in out
+    assert "--batch 16" in out  # BATCH env -> serving throughput dial
     assert "--spatial 4" not in out  # SPATIAL=1 -> bare flag (all chips)
 
     # SPATIAL=N>1 passes the chips-per-frame count through
