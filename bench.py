@@ -369,7 +369,17 @@ def main():
                              "ms/step; gather: the original lerp)")
     parser.add_argument("--mode", choices=["full", "step", "e2e", "infer"],
                         default="full")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="TRAIN.BATCH_SIZE (source images per step); the "
+                             "default matches the flagship config and the "
+                             "driver's cached program — non-default values "
+                             "compile a new program (frontier scan)")
+    parser.add_argument("--groups", type=int, default=2,
+                        help="TRAIN.NUM_GROUPS (target groups per step)")
     args = parser.parse_args()
+
+    global BATCH_SIZE, NUM_GROUPS
+    BATCH_SIZE, NUM_GROUPS = args.batch, args.groups
 
     import jax
 
@@ -405,7 +415,8 @@ def main():
 
     out = {
         "metric": "sac_adapt_train_images_per_sec_per_chip",
-        "unit": "img/s/chip (TRAIN.BATCH_SIZE=8 @512x1024, r101, bf16)",
+        "unit": "img/s/chip (TRAIN.BATCH_SIZE=%d @512x1024, r101, bf16)"
+                % BATCH_SIZE,
         "remat": args.remat,
         # the reference publishes no throughput: vs_baseline divides by the
         # documented ~1.5 img/s/GPU estimate (module docstring); mfu and

@@ -7,7 +7,13 @@ fractions normalized by the class's total pixel count:
 ``{mask_basename: {class_id: class_pixels_in_image / total_class_pixels}}``.
 
 Vectorized: one np.bincount per mask instead of a per-label Python loop.
-Output is pickle (the sampler also reads the reference's torch.save format).
+
+Output format: ``torch`` (default when torch is importable) writes with
+``torch.save`` — byte-compatible with the reference's own output
+(compute_IS_weights.py:97), so the reference's ``DataTarget.init_sampling``
+(dataloader_target.py:83-92) loads our weights directly; ``pickle`` is the
+torch-free fallback.  Our sampler (data/sampler.load_sample_weights) reads
+BOTH, so interop holds in both directions either way.
 """
 
 import argparse
@@ -20,7 +26,24 @@ import numpy as np
 from PIL import Image
 
 
-def count(labels_dir, ext="*.png", out=None, num_classes=19, verbose=True):
+def _save(mask_stats, out, fmt="auto"):
+    if fmt == "auto":
+        try:
+            import torch  # noqa: F401
+            fmt = "torch"
+        except ImportError:
+            fmt = "pickle"
+    if fmt == "torch":
+        import torch
+        torch.save(mask_stats, out)
+    else:
+        with open(out, "wb") as f:
+            pickle.dump(mask_stats, f)
+    return fmt
+
+
+def count(labels_dir, ext="*.png", out=None, num_classes=19, verbose=True,
+          fmt="auto"):
     matches = sorted(
         os.path.join(labels_dir, f)
         for f in fnmatch.filter(os.listdir(labels_dir), ext))
@@ -48,14 +71,15 @@ def count(labels_dir, ext="*.png", out=None, num_classes=19, verbose=True):
 
     for stats in mask_stats.values():
         for c in stats:
-            stats[c] /= pixel_count[c]
+            # plain Python float: numpy scalars would trip torch.load's
+            # weights_only unpickler on the reference side
+            stats[c] = float(stats[c] / pixel_count[c])
 
     if out:
         if os.path.isfile(out):
             print("Output file already exists: {}".format(out))
             sys.exit(1)
-        with open(out, "wb") as f:
-            pickle.dump(mask_stats, f)
+        _save(mask_stats, out, fmt)
     return mask_stats
 
 
@@ -65,8 +89,14 @@ def main(argv=None):
     parser.add_argument("--ext", type=str, default="*.png")
     parser.add_argument("--out", type=str, default="./data/weights.data")
     parser.add_argument("--num-classes", type=int, default=19)
+    parser.add_argument("--format", choices=["auto", "torch", "pickle"],
+                        default="auto", dest="fmt",
+                        help="'torch' = reference-compatible torch.save "
+                             "(dataloader_target.py:83-92 loads it); "
+                             "'pickle' needs no torch; 'auto' = torch when "
+                             "importable")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
-    count(args.labels, args.ext, args.out, args.num_classes)
+    count(args.labels, args.ext, args.out, args.num_classes, fmt=args.fmt)
 
 
 if __name__ == "__main__":

@@ -98,8 +98,96 @@ def test_compute_is_weights(tmp_path):
     assert abs(stats["a.png"][0] - 100 / 150) < 1e-9
     assert abs(stats["b.png"][0] - 50 / 150) < 1e-9
     assert abs(stats["b.png"][1] - 1.0) < 1e-9
+    # default fmt="auto" writes torch.save when torch is importable
+    # (reference-compatible); load_sample_weights reads either format
+    from dasac_tpu.data.sampler import load_sample_weights
+    assert load_sample_weights(out) == stats
+
+
+def test_compute_is_weights_pickle_format(tmp_path):
+    d = tmp_path / "preds"
+    d.mkdir()
+    Image.fromarray(np.zeros((4, 4), np.uint8)).save(d / "a.png")
+    out = str(tmp_path / "w.data")
+    stats = compute_is_weights.count(str(d), out=out, verbose=False,
+                                     fmt="pickle")
     with open(out, "rb") as f:
         assert pickle.load(f) == stats
+
+
+def test_is_weights_torch_format_reference_roundtrip(tmp_path):
+    """The ``--format torch`` output loads through the reference's OWN
+    pipeline: ``torch.load`` (dataloader_target.py:85) followed by
+    ``DataTarget.init_sampling`` (dataloader_target.py:146-198) — and the
+    reference's cumulative per-class CDFs equal the ones our
+    ImportanceSampler builds from the same file (interop both directions,
+    closing the asymmetry where the reference could not read our pickle)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    import types
+
+    from dasac_tpu.data.sampler import ImportanceSampler, load_sample_weights
+    from dasac_tpu.utils.collections import AttrDict
+    from tests.test_fullnet_torch_parity import (REF,
+                                                 _install_torchvision_stub)
+
+    # masks with known class content: 3 classes over 3 images
+    d = tmp_path / "preds"
+    d.mkdir()
+    arrs = {
+        "a.png": np.zeros((10, 10), np.uint8),                 # all class 0
+        "b.png": np.full((10, 10), 1, np.uint8),               # all class 1
+        "c.png": np.concatenate([np.zeros((5, 10), np.uint8),  # 0 + 2
+                                 np.full((5, 10), 2, np.uint8)]),
+    }
+    for name, a in arrs.items():
+        Image.fromarray(a).save(d / name)
+    out = str(tmp_path / "w.data")
+    compute_is_weights.count(str(d), out=out, verbose=False,
+                             num_classes=3, fmt="torch")
+
+    # --- the reference's exact load call -------------------------------
+    loaded = torch.load(out)
+
+    # --- the reference's own init_sampling on the loaded weights -------
+    _install_torchvision_stub()
+    tv = sys.modules["torchvision"]
+    for name in ("torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    tv.transforms = sys.modules["torchvision.transforms"]
+    tv.transforms.functional = sys.modules[
+        "torchvision.transforms.functional"]
+    for pkg_name, path in (("datasets", REF + "/datasets"),
+                           ("tools", REF + "/tools")):
+        mod = sys.modules.get(pkg_name)
+        if mod is None or not getattr(mod, "__path__", None):
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [path]
+            sys.modules[pkg_name] = pkg
+    import datasets.dataloader_target as ref_dt  # noqa: E402
+
+    names = sorted(arrs)  # the split order: a, b, c
+    dt = ref_dt.DataTarget.__new__(ref_dt.DataTarget)
+    dt.num_classes = 3
+    dt.sample_index = {n: i for i, n in enumerate(names)}
+    cfg = AttrDict()
+    cfg.VAL = AttrDict()
+    cfg.VAL.IGNORE_CLASS = []
+    dt.cfg = cfg
+    groups = dt.init_sampling(len(names), loaded, prior_weight=0.25)
+
+    ours = ImportanceSampler(len(names), num_classes=3, mask_names=names,
+                             weights=load_sample_weights(out),
+                             prior_weight=0.25)
+    for cid in range(3):
+        np.testing.assert_allclose(np.asarray(groups[cid]),
+                                   ours._cum[cid], rtol=0, atol=1e-12,
+                                   err_msg="class %d CDF" % cid)
+    # and the weighting really is non-uniform (class 2 mass sits on c.png)
+    assert groups[2][0] == pytest.approx(0.25 / 3)
+    assert groups[2][2] - groups[2][1] == pytest.approx(0.25 / 3 + 0.75)
 
 
 def test_is_weights_feed_sampler(tmp_path):

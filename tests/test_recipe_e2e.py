@@ -17,7 +17,6 @@ logic.
 
 import glob
 import os
-import pickle
 import subprocess
 
 import numpy as np
@@ -72,8 +71,10 @@ def test_three_stage_recipe(tmp_path):
     weights_path = str(tmp_path / "cs_weights.data")
     stats = compute_is_weights.count(masks, out=weights_path, verbose=False)
     assert set(stats) == set(exported)
-    with open(weights_path, "rb") as f:
-        assert pickle.load(f) == stats
+    # default format is the reference-compatible torch.save; the sampler's
+    # loader reads either format
+    from dasac_tpu.data.sampler import load_sample_weights
+    assert load_sample_weights(weights_path) == stats
 
     # ---- stage 4: SAC resuming the ABN snapshot with the weights ----------
     # the ABN snapshot carries its epoch counter (the reference resumes
