@@ -170,7 +170,8 @@ class Loaders:
         s_sampler.set_epoch(epoch)
         src_loader = host_loader.PrefetchLoader(
             self.source, bs_src, steps,
-            host_loader.make_plain_index_fn(s_sampler.indices(), bs_src),
+            host_loader.make_plain_index_fn(
+                s_sampler.indices(batch_size=bs_src), bs_src),
             threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)
 
         # distinct stream constant: seed+1 would collide with the source
@@ -182,11 +183,11 @@ class Loaders:
         t_sampler.set_epoch(epoch)
         if self.importance is not None:
             index_fn = host_loader.make_importance_index_fn(
-                self.importance, t_sampler.indices(), bs_tgt, epoch,
-                seed=self.seed)
+                self.importance, t_sampler.indices(batch_size=bs_tgt),
+                bs_tgt, epoch, seed=self.seed)
         else:
             index_fn = host_loader.make_plain_index_fn(
-                t_sampler.indices(), bs_tgt)
+                t_sampler.indices(batch_size=bs_tgt), bs_tgt)
         tgt_loader = host_loader.PrefetchLoader(
             self.target, bs_tgt, steps, index_fn,
             threads=cfg.TPU.LOADER_THREADS, prefetch=cfg.TPU.PREFETCH)

@@ -10,8 +10,17 @@ import numpy as np
 
 class EpochSampler:
     """Deterministic per-epoch shuffle, shardable across hosts (the
-    reference's torch DistributedSampler semantics: epoch-seeded permutation,
-    rank-strided slice, padded to equal length)."""
+    reference's torch DistributedSampler role: epoch-seeded permutation,
+    per-rank slice, padded to equal length).
+
+    ``indices(batch_size=b)`` slices at BATCH granularity: rank r's batch
+    ``i`` is ``order[i*R*b + r*b : i*R*b + (r+1)*b]``, so the global batch
+    assembled rank-by-rank (``shard_batch`` concatenation order) is exactly
+    the single-process batch ``order[i*R*b : (i+1)*R*b]`` — the pod
+    trajectory reproduces the solo trajectory sample-for-sample (device-side
+    augmentation keys are positional).  Without ``batch_size`` the slice is
+    torch-DistributedSampler rank-strided (``order[rank::R]``) — same
+    coverage, but the within-batch order differs from single-process."""
 
     def __init__(self, num_samples, num_replicas=1, rank=0, shuffle=True,
                  seed=0, drop_last=False):
@@ -26,22 +35,35 @@ class EpochSampler:
     def set_epoch(self, epoch):
         self.epoch = epoch
 
-    def indices(self):
+    def indices(self, batch_size=None):
         n = self.num_samples
         if self.shuffle:
             g = np.random.RandomState(self.seed + self.epoch)
             order = g.permutation(n)
         else:
             order = np.arange(n)
+        R = self.num_replicas
+        if batch_size is not None:
+            stride = R * batch_size
+            if self.drop_last:
+                nb = n // stride
+                order = order[: nb * stride]
+            else:
+                nb = -(-n // stride)
+                pad = nb * stride - n
+                if pad:  # wrap-pad like the strided branch below
+                    order = np.concatenate(
+                        [order, np.resize(order, pad)])
+            return order.reshape(-1, R, batch_size)[:, self.rank, :].ravel()
         if self.drop_last:
-            per = n // self.num_replicas
-            order = order[: per * self.num_replicas]
+            per = n // R
+            order = order[: per * R]
         else:
-            per = -(-n // self.num_replicas)
-            pad = per * self.num_replicas - n
+            per = -(-n // R)
+            pad = per * R - n
             if pad:
                 order = np.concatenate([order, order[:pad]])
-        return order[self.rank::self.num_replicas]
+        return order[self.rank::R]
 
 
 def load_sample_weights(path):

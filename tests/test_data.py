@@ -39,6 +39,30 @@ def test_epoch_sampler_determinism_and_sharding():
     assert set(allidx) == set(range(10))
 
 
+def test_epoch_sampler_batch_block_slicing_reproduces_solo_batches():
+    """indices(batch_size=b): concatenating the R ranks' batch-i slices in
+    rank order must equal the single-process batch i (this is what makes
+    the pod trajectory identical to the solo one)."""
+    n, R, b = 19, 4, 2
+    solo = sampler.EpochSampler(n, seed=7, drop_last=True)
+    solo.set_epoch(5)
+    solo_idx = solo.indices(batch_size=R * b)
+    ranks = []
+    for r in range(R):
+        sr = sampler.EpochSampler(n, num_replicas=R, rank=r, seed=7,
+                                  drop_last=True)
+        sr.set_epoch(5)
+        ranks.append(sr.indices(batch_size=b).reshape(-1, b))
+    nb = ranks[0].shape[0]
+    assembled = np.concatenate(ranks, axis=1).reshape(nb * R * b)
+    np.testing.assert_array_equal(assembled, solo_idx)
+    # padded (drop_last=False) variant still covers every sample
+    full = np.concatenate([
+        sampler.EpochSampler(n, num_replicas=R, rank=r, seed=7)
+        .indices(batch_size=b) for r in range(R)])
+    assert set(full) == set(range(n))
+
+
 def test_importance_sampler_uniform_without_weights():
     imp = sampler.ImportanceSampler(4, num_classes=3)
     rng = np.random.RandomState(0)

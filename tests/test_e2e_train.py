@@ -118,6 +118,122 @@ def test_cli_sac_training_sharded_mesh(synth_root, tmp_path):
     ])
 
 
+def _read_events(logdir_glob, tags_prefixes):
+    """{(tag, step): value} for scalar events under matching prefixes."""
+    import json as _json
+
+    out = {}
+    for p in glob.glob(logdir_glob, recursive=True):
+        with open(p) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if any(rec["tag"].startswith(t) for t in tags_prefixes):
+                    out[(rec["tag"], rec["step"])] = rec["value"]
+    return out
+
+
+def test_cli_pod_four_process_trajectory_identity(tmp_path_factory,
+                                                  tmp_path):
+    """4 jax.distributed processes x 2 local devices (8-device global mesh)
+    vs ONE process x 8 devices, same seed/config/data: the assembled global
+    batches are sample-for-sample identical (EpochSampler batch-block
+    slicing), so the per-epoch loss trajectory and val mIoU must agree up
+    to collective reduction-order float noise (the 4x2 process topology
+    changes cross-device reduction order; threshold-crossing pixels can
+    flip discretely, so coverage-style means get a small absolute
+    allowance), and the rank-interleaved val decode
+    (host_loader.padded_plain_loader: per-rank batch 2, global stride 8)
+    must split 10 val images as 4/2/2/2 across the 4 ranks — two global
+    batches, one rank slice all-dummy in the second — the >=2-way behaviors
+    the 2-process test cannot see."""
+    import re
+    import subprocess
+    import sys
+
+    from dasac_tpu.utils.sys_tools import find_free_port
+
+    root = make_synthetic_root(
+        str(tmp_path_factory.mktemp("pod4data")), hw=(48, 64),
+        n_train_src=8, n_train_tgt=8, n_val=10)
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+
+    def argv(run, snap_dir, log_dir, dist):
+        return [
+            sys.executable, "train.py",
+            "--cfg", os.path.join(cwd, "configs", "tiny_cpu.yaml"),
+            "--snapshot-dir", str(snap_dir), "--logdir", str(log_dir),
+            "--exp", "pod4", "--run", run, "--workers", "2",
+        ] + (["--multiprocessing-distributed"] if dist else []) + [
+            "--set", "DATASET.ROOT", root,
+            "TRAIN.NUM_EPOCHS", "1",
+            "TRAIN.BATCH_SIZE", "8", "TRAIN.NUM_GROUPS", "8",
+            "TRAIN.GROUP_SIZE", "2", "LOG.ITER_TARGET", "1",
+            "LOG.ITER_VAL", "1",
+        ]
+
+    env_common = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": cwd,
+    }
+
+    # ---- reference arm: one process, 8 local devices ----------------------
+    p = subprocess.run(
+        argv("solo", tmp_path / "snap1", tmp_path / "logs1", dist=False),
+        env={**env_common,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        cwd=cwd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600)
+    assert p.returncode == 0, p.stdout[-3000:]
+
+    # ---- pod arm: 4 processes x 2 devices ---------------------------------
+    env_base = {
+        **env_common,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COORDINATOR_ADDRESS": "localhost:%d" % find_free_port(),
+        "JAX_NUM_PROCESSES": "4",
+    }
+    procs = [
+        subprocess.Popen(argv("pod", tmp_path / "snap4", tmp_path / "logs4",
+                              dist=True),
+                         env={**env_base, "JAX_PROCESS_ID": str(r)},
+                         cwd=cwd, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for r in range(4)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "rank {} failed:\n{}".format(r, out[-3000:])
+    assert "4 process(es)" in outs[0]
+
+    # only rank 0 checkpoints
+    assert glob.glob(str(tmp_path / "snap4" / "**" / "*.ckpt"),
+                     recursive=True), outs[0][-2000:]
+
+    # ---- rank-interleaved val decode: 10 images -> 4/2/2/2 ----------------
+    n_real = []
+    for r, out in enumerate(outs):
+        m = re.search(r"\[val:val_cityscapes\] rank %d decoded (\d+) real "
+                      r"images" % r, out)
+        assert m, out[-2000:]
+        n_real.append(int(m.group(1)))
+    assert sum(n_real) == 10, n_real
+    assert sorted(n_real, reverse=True) == [4, 2, 2, 2], n_real
+
+    # ---- trajectory identity vs the single-process arm --------------------
+    prefixes = ("train_epoch/", "logits_up_all/mIoU")
+    ev_solo = _read_events(str(tmp_path / "logs1" / "**" / "events.jsonl"),
+                           prefixes)
+    ev_pod = _read_events(str(tmp_path / "logs4" / "**" / "events.jsonl"),
+                          prefixes)
+    assert ev_solo and set(ev_solo) == set(ev_pod), (
+        set(ev_solo) ^ set(ev_pod))
+    for key in sorted(ev_solo):
+        np.testing.assert_allclose(
+            ev_pod[key], ev_solo[key], rtol=1e-3, atol=2e-4,
+            err_msg="pod-vs-solo trajectory diverged at %r" % (key,))
+
+
 def test_cli_pod_two_process_training(synth_root, tmp_path):
     """TRUE multi-process run: 2 jax.distributed CPU processes x 2 local
     devices form a 4-device global mesh; each process decodes its half of
