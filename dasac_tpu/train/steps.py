@@ -198,7 +198,10 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
 
     With ``debug=True`` the metrics dict additionally carries the
     pseudo-labels, teacher confidence, refined probabilities and raw summed
-    gradients (never pmean'd — single-device verification only).
+    gradients (never pmean'd — single-device verification only);
+    ``debug="light"`` returns only the pseudo-labels and running_conf (the
+    long-horizon parity run reads metrics back every iteration, and the
+    full r101 gradient pytree would dominate its wall time).
     """
 
     # refine-chain precision: None = f32 interpolation (reference-exact);
@@ -327,8 +330,9 @@ def make_sac_views_step(model, tx, scfg: StepConfig,
         }, axis_name)
         if debug:
             metrics = dict(metrics)
-            metrics.update(pseudo=pseudo, conf=conf, refined=refined,
-                           running_conf=running_conf, grads=grads)
+            metrics.update(pseudo=pseudo, running_conf=running_conf)
+            if debug != "light":
+                metrics.update(conf=conf, refined=refined, grads=grads)
         return new_state, metrics
 
     return views_step
