@@ -9,6 +9,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import multihost_utils
 
 from dasac_tpu.core.mesh import (DATA_AXIS, make_mesh, make_mesh_2d,
                                  replicated, shard_batch,
@@ -81,6 +82,18 @@ class Trainer:
             if self.gspmd else
             " (data-parallel)" if self.sharded else ""))
 
+        if self.n_proc > 1:
+            # Establish the cross-process collective contexts NOW, while the
+            # ranks are still aligned from jax.distributed.initialize(): the
+            # gloo/ICI clique rendezvous publishes each rank's endpoint with
+            # a short (~30 s) key-value timeout, and the first in-step
+            # collective otherwise only happens after minutes of per-rank
+            # compile/dataset-setup skew — a slow rank then times the fast
+            # ranks out (observed on a loaded 1-core CI host).  One barrier
+            # collective here creates the context; every later collective
+            # reuses it, so arbitrary downstream skew is safe.
+            multihost_utils.sync_global_devices("dasac_tpu:mesh_ready")
+
         # multi-host (pod): each process decodes its slice of every batch;
         # shard_batch assembles global arrays over the full mesh
         assert cfg.TRAIN.BATCH_SIZE % self.n_proc == 0 and \
@@ -152,8 +165,6 @@ class Trainer:
             # pod: make every process's state bit-identical (resume may have
             # found different/missing snapshots per host), then promote to
             # global replicated arrays so the multi-process pjit accepts it
-            from jax.experimental import multihost_utils
-
             state = multihost_utils.broadcast_one_to_all(state)
             rep = replicated(self.mesh)
             state = jax.tree.map(

@@ -50,8 +50,15 @@ def main(argv=None):
         import jax
 
         coord, nproc, pid = resolve_dist_env(os.environ)
+        # generous shutdown tolerance: ranks reach process exit with real
+        # skew (rank 0 alone writes checkpoints/panels; on loaded CI hosts
+        # per-rank compile skew adds minutes) and a late rank must not fail
+        # the whole pod at the final coordination-service barrier.  Real
+        # hangs are still caught by the launcher's own timeout.
         jax.distributed.initialize(
-            coordinator_address=coord, num_processes=nproc, process_id=pid)
+            coordinator_address=coord, num_processes=nproc, process_id=pid,
+            shutdown_timeout_seconds=int(
+                os.environ.get("DASAC_SHUTDOWN_TIMEOUT", "900")))
 
     import numpy as np
 
