@@ -83,16 +83,31 @@ class Trainer:
             " (data-parallel)" if self.sharded else ""))
 
         if self.n_proc > 1:
-            # Establish the cross-process collective contexts NOW, while the
-            # ranks are still aligned from jax.distributed.initialize(): the
-            # gloo/ICI clique rendezvous publishes each rank's endpoint with
-            # a short (~30 s) key-value timeout, and the first in-step
-            # collective otherwise only happens after minutes of per-rank
-            # compile/dataset-setup skew — a slow rank then times the fast
-            # ranks out (observed on a loaded 1-core CI host).  One barrier
-            # collective here creates the context; every later collective
-            # reuses it, so arbitrary downstream skew is safe.
-            multihost_utils.sync_global_devices("dasac_tpu:mesh_ready")
+            # Establish the cross-process collective contexts NOW, not at
+            # the first in-step collective: the gloo/ICI clique rendezvous
+            # publishes each rank's endpoint with a short (~30 s) key-value
+            # timeout, and the first in-step collective otherwise only
+            # happens after minutes of per-rank compile/dataset-setup skew —
+            # a slow rank then times the fast ranks out (observed on a
+            # loaded 1-core CI host).  Two stages: (1) a coordination-service
+            # barrier with a GENEROUS timeout absorbs whatever skew the
+            # ranks accumulated since initialize() (backend creation and
+            # framework imports are not free under contention); (2) one
+            # barrier collective then creates the clique context with all
+            # ranks aligned to within milliseconds, comfortably inside the
+            # 30 s rendezvous window.  Every later collective reuses the
+            # context, so arbitrary downstream skew is safe.
+            try:
+                from jax._src import distributed as _dist
+
+                _dist.global_state.client.wait_at_barrier(
+                    "dasac_tpu:mesh_ready", 15 * 60 * 1000)
+            except Exception:
+                pass  # private API; stage (2) alone still narrows the race
+            multihost_utils.sync_global_devices("dasac_tpu:collectives_up")
+            # warm the one-device-per-process clique too (used by the
+            # resume broadcast below) while the ranks are still aligned
+            multihost_utils.broadcast_one_to_all(np.zeros((), np.float32))
 
         # multi-host (pod): each process decodes its slice of every batch;
         # shard_batch assembles global arrays over the full mesh
