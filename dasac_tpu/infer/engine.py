@@ -68,7 +68,7 @@ class InferDataset:
         return self._ds.load_batch(idxs, pool=pool, threads=threads)
 
 
-def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
+def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
     """Jittable (variables, uint8 [1,H,W,3]) -> averaged softmax [1,H,W,C].
 
     Scale factors resize the input (bilinear); each scale's logits are
@@ -81,31 +81,68 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False):
     and spatial shape are shared, samples are independent, BN is frozen, so
     the probabilities are identical; the small scales otherwise leave the
     MXU underfed — measured in PARITY.md's multi-scale serving row).
+
+    ``fuse`` picks where the scale fusion happens:
+      * ``"full"``    — reference protocol: every scale's logits are
+        upsampled to native resolution, softmaxed there, and the
+        full-resolution probability maps are averaged.
+      * ``"stride8"`` — the heads stay on the trunk's native stride-8 grid:
+        each scale's RAW logits are resampled (align-corners) to the
+        largest scale's stride-8 grid, softmaxed and averaged THERE, and
+        the fused probabilities are upsampled once at the end.  The model
+        carries no information below stride 8, so — exactly like the
+        adopted ``TPU.REFINE_RES=stride8`` training chain (PARITY.md) —
+        the two protocols differ only by the order of the bilinear
+        smoothing vs the softmax nonlinearity: a label-boundary band
+        effect.  It deletes ``2 x len(scales) - 1`` full-resolution
+        upsample+softmax chains per step; stability + measured numbers in
+        PARITY.md.  Default stays the reference-exact ``"full"``.
     """
+    assert fuse in ("full", "stride8"), fuse
 
     def fn(variables, image_u8):
         x = P.normalize(image_u8.astype(jnp.float32) / 255.0, mean, std)
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
 
-        def forward(xi):
-            _, up = model.apply(variables, xi, train=False,
-                                update_stats=False)
+        def scaled(s):
+            if s == 1.0:
+                return x
+            sh, sw = int(round(h * s)), int(round(w * s))
+            return jax.image.resize(x, (x.shape[0], sh, sw, 3), "linear")
+
+        def forward(xi, want_raw):
+            raw, up = model.apply(variables, xi, train=False,
+                                  update_stats=False)
+            if want_raw:
+                return raw  # stride-8 logits; XLA dead-code-eliminates `up`
             up = resize_bilinear_align_corners(up, (h, w))
             return jax.nn.softmax(up, axis=-1)
 
+        if fuse == "stride8":
+            logits = [forward(jnp.concatenate([xs, xs[:, :, ::-1, :]], 0)
+                              if flip else xs, True)
+                      for xs in map(scaled, scales)]
+            # common grid = the largest scale's stride-8 grid
+            tgt = max(((lg.shape[1], lg.shape[2]) for lg in logits),
+                      key=lambda s: s[0] * s[1])
+            acc = None
+            for lg in logits:
+                p = jax.nn.softmax(
+                    resize_bilinear_align_corners(lg, tgt), axis=-1)
+                if flip:
+                    p = p[:b] + p[b:][:, :, ::-1, :]
+                acc = p if acc is None else acc + p
+            denom = len(scales) * (2 if flip else 1)
+            return resize_bilinear_align_corners(acc / denom, (h, w))
+
         acc = None
-        for s in scales:
-            if s == 1.0:
-                xs = x
-            else:
-                sh, sw = int(round(h * s)), int(round(w * s))
-                xs = jax.image.resize(x, (x.shape[0], sh, sw, 3), "linear")
+        for xs in map(scaled, scales):
             if flip:
                 both = forward(jnp.concatenate(
-                    [xs, xs[:, :, ::-1, :]], axis=0))
+                    [xs, xs[:, :, ::-1, :]], axis=0), False)
                 p = both[:b] + both[b:][:, :, ::-1, :]
             else:
-                p = forward(xs)
+                p = forward(xs, False)
             acc = p if acc is None else acc + p
         denom = len(scales) * (2 if flip else 1)
         return acc / denom
@@ -135,13 +172,17 @@ class ResultWriter:
         self._pool = ThreadPoolExecutor(workers)
         self._futures = []
 
-    def submit(self, probs, image_u8, name):
+    def submit(self, pred, image_u8, name, probs=None):
+        """``pred``: uint8 [H,W] trainId mask (argmax already taken — on
+        DEVICE by run_inference, so the per-image D2H readback is 2 MB of
+        uint8 instead of an 80x larger f32 probability volume).  ``probs``
+        is only needed (and only fetched) for ``save_raw``."""
         self._futures.append(
-            self._pool.submit(self._write, np.asarray(probs),
-                              np.asarray(image_u8), name))
+            self._pool.submit(self._write, np.asarray(pred),
+                              np.asarray(image_u8), name,
+                              None if probs is None else np.asarray(probs)))
 
-    def _write(self, probs, image_u8, name):
-        pred = np.argmax(probs, axis=-1).astype(np.uint8)
+    def _write(self, pred, image_u8, name, probs=None):
         pal_img = Image.fromarray(pred, mode="P")
         pal_img.putpalette(self._palette)
         pal_img.save(os.path.join(self.out_dir, name + ".png"))
@@ -150,6 +191,7 @@ class ResultWriter:
             Image.fromarray(cs).save(
                 os.path.join(self.out_dir, "cs", name + ".png"))
         if self.save_raw:
+            assert probs is not None
             np.savez_compressed(
                 os.path.join(self.out_dir, "raw", name + ".npz"),
                 raw=probs.astype(np.float16))
@@ -211,7 +253,8 @@ def infer_mesh(batch_size=None, spatial=False):
 def run_inference(model, variables, dataset, out_dir, *, mean, std,
                   num_classes=19, scales=(1.0,), flip=False, save_cs=True,
                   save_raw=False, vis=False, workers=4, verbose=True,
-                  progress_every=50, batch_size=None, spatial=False):
+                  progress_every=50, batch_size=None, spatial=False,
+                  fuse="full"):
     """Full loop: forward every image, export, accumulate the confusion
     matrix when ground truth is present.  Returns (conf [C,C] or None).
 
@@ -230,6 +273,10 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     to the next multiple and the output sliced back — the forward then
     runs at a marginally taller canvas (sub-pixel interpolation shifts;
     bit-identical at divisible sizes).
+
+    ``fuse="stride8"`` fuses the multi-scale averaging on the stride-8
+    grid (see :func:`make_infer_fn`); the default ``"full"`` is the
+    reference-exact protocol.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -239,8 +286,12 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     repl = NamedSharding(mesh, P())
     variables = jax.device_put(variables, repl)
 
-    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip),
+    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip, fuse),
                        in_shardings=(repl, shard), out_shardings=shard)
+    # argmax ON DEVICE: the writer needs the uint8 trainId mask, so read
+    # back 2 MB of preds per frame instead of the f32 [H,W,C] probability
+    # volume (~80x more D2H at C=19; full probs only cross when save_raw)
+    argmax_fn = jax.jit(lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8))
 
     writer = ResultWriter(out_dir, save_cs=save_cs, save_raw=save_raw,
                           vis=vis, workers=workers)
@@ -263,19 +314,23 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
             imgs = np.pad(imgs, ((0, 0), (0, h_pad), (0, 0), (0, 0)),
                           mode="edge")
         probs = infer_fn(variables, jax.device_put(imgs, shard))
+        preds = argmax_fn(probs)
         if h_pad:
-            probs = probs[:, :h_img]
+            preds = preds[:, :h_img]
             imgs = imgs[:, :h_img]
         if have_gt:
             c = confusion_matrix(
-                jnp.argmax(probs, -1),
-                jnp.asarray(masks.astype(np.int32)), num_classes)
+                preds, jnp.asarray(masks.astype(np.int32)), num_classes)
             conf = c if conf is None else conf + c
+        preds_np = np.asarray(preds)  # ONE batched uint8 D2H readback
+        probs_np = (np.asarray(probs[:, :h_img] if h_pad else probs)
+                    if save_raw else None)
         for k in range(b):
             i = bi * b + k
             if i >= n:
                 break
-            writer.submit(probs[k], imgs[k], dataset.name(i))
+            writer.submit(preds_np[k], imgs[k], dataset.name(i),
+                          probs=None if probs_np is None else probs_np[k])
         if verbose and (bi * b) % progress_every < b:
             print("[{:4d}/{:4d}] {}".format(min(bi * b + 1, n), n,
                                             dataset.name(min(bi * b, n - 1))))

@@ -39,6 +39,8 @@ def main(argv=None):
                          "size in spatial mode; 1 in single mode)")
     ap.add_argument("--scales", type=float, nargs="+", default=[1.0])
     ap.add_argument("--flip", action="store_true")
+    ap.add_argument("--fuse", choices=["full", "stride8"], default="full",
+                    help="scale-fusion point (engine.make_infer_fn)")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
@@ -83,7 +85,7 @@ def main(argv=None):
 
     mean, std = tuple(cfg.DATASET.MEAN), tuple(cfg.DATASET.STD)
     infer_fn = jax.jit(make_infer_fn(model, mean, std, tuple(args.scales),
-                                     args.flip),
+                                     args.flip, args.fuse),
                        in_shardings=(repl, shard), out_shardings=shard)
 
     # falsifiable utilization numbers, same method as bench.py: XLA
@@ -142,6 +144,7 @@ def main(argv=None):
         "hw": [h, w],
         "scales": args.scales,
         "flip": bool(args.flip),
+        "fuse": args.fuse,
         "arch": args.arch,
         "dtype": args.dtype,
     }

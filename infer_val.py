@@ -32,6 +32,15 @@ def main(argv=None):
                         help="multi-scale factors (default: single scale)")
     parser.add_argument("--flip", action="store_true",
                         help="average with horizontally flipped forward")
+    parser.add_argument("--fuse", choices=["full", "stride8"],
+                        default="full",
+                        help="where the scale/flip fusion happens: 'full' "
+                             "= reference protocol (softmax+average at "
+                             "native resolution per scale); 'stride8' = "
+                             "average on the trunk's stride-8 grid and "
+                             "upsample the fused probabilities ONCE "
+                             "(faster; boundary-band-only deviation — "
+                             "PARITY.md)")
     parser.add_argument("--save-raw", action="store_true")
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--teacher", action="store_true",
@@ -95,7 +104,7 @@ def main(argv=None):
         mean=tuple(cfg.DATASET.MEAN), std=tuple(cfg.DATASET.STD),
         num_classes=num_classes, scales=tuple(args.scales), flip=args.flip,
         save_raw=args.save_raw, vis=args.vis, workers=args.workers or 4,
-        batch_size=args.batch or None, spatial=args.spatial)
+        batch_size=args.batch or None, spatial=args.spatial, fuse=args.fuse)
 
     if conf is not None:
         iou, pr, re = summarise(conf)

@@ -35,3 +35,13 @@ def test_bench_infer_combined_mesh(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mesh"] == [2, 4] and out["batch"] == 2
     assert out["value"] > 0
+
+
+def test_bench_infer_fuse_stride8(capsys):
+    rc = bench_infer.main(["--arch", "tiny", "--hw", "64", "64",
+                           "--mode", "batch", "--iters", "2",
+                           "--scales", "0.5", "1.0", "--flip",
+                           "--fuse", "stride8", "--dtype", "float32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] > 0 and out["fuse"] == "stride8"

@@ -433,3 +433,122 @@ def test_spatial_with_multiscale_flip(root, tmp_path):
     conf_s = engine.run_inference(model, variables, ds,
                                   str(tmp_path / "s"), spatial=True, **kw)
     np.testing.assert_allclose(conf_b, conf_s, atol=1e-3)
+
+
+def test_fuse_stride8_single_scale_exactness():
+    """fuse='stride8' at scales=(1.0,) == upsample(softmax(raw logits)):
+    the ONLY change vs 'full' is softmax before vs after the final
+    upsample (make_infer_fn docstring)."""
+    from dasac_tpu.aug import photometric as P
+    from dasac_tpu.nn.functional import resize_bilinear_align_corners
+
+    model = build_model("tiny", 7)
+    variables = _variables(model, (32, 48))
+    img = (np.random.RandomState(2).rand(1, 32, 48, 3) * 255).astype(np.uint8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    fn = jax.jit(engine.make_infer_fn(model, mean, std, scales=(1.0,),
+                                      fuse="stride8"))
+    got = np.asarray(fn(variables, jnp.asarray(img)))
+
+    x = P.normalize(jnp.asarray(img).astype(jnp.float32) / 255.0, mean, std)
+    raw, _ = model.apply(variables, x, train=False, update_stats=False)
+    want = np.asarray(resize_bilinear_align_corners(
+        jax.nn.softmax(raw, axis=-1), (32, 48)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # bilinear mixing of simplex vectors stays on the simplex
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_fuse_stride8_multiscale_flip_manual():
+    """stride-8 fusion with scales+flip == the manual per-view
+    recomputation: every scale's raw logits resampled (align-corners) to
+    the LARGEST scale's stride-8 grid, softmaxed + flip/scale-averaged
+    there, upsampled once at the end."""
+    from dasac_tpu.aug import photometric as P
+    from dasac_tpu.nn.functional import resize_bilinear_align_corners
+
+    model = build_model("tiny", 7)
+    variables = _variables(model, (32, 48))
+    img = (np.random.RandomState(3).rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    scales = (0.5, 1.0)
+
+    fn = jax.jit(engine.make_infer_fn(model, mean, std, scales=scales,
+                                      flip=True, fuse="stride8"))
+    got = np.asarray(fn(variables, jnp.asarray(img)))
+
+    x = P.normalize(jnp.asarray(img).astype(jnp.float32) / 255.0, mean, std)
+    h, w = x.shape[1], x.shape[2]
+
+    def raw(xi):
+        lg, _ = model.apply(variables, xi, train=False, update_stats=False)
+        return lg
+
+    tgt = raw(x).shape[1:3]  # largest scale's stride-8 grid
+    acc = 0.0
+    for s in scales:
+        xs = x if s == 1.0 else jax.image.resize(
+            x, (x.shape[0], int(round(h * s)), int(round(w * s)), 3),
+            "linear")
+        p = jax.nn.softmax(
+            resize_bilinear_align_corners(raw(xs), tgt), axis=-1)
+        pm = jax.nn.softmax(
+            resize_bilinear_align_corners(raw(xs[:, :, ::-1, :]), tgt),
+            axis=-1)
+        acc = acc + p + pm[:, :, ::-1, :]
+    want = np.asarray(resize_bilinear_align_corners(
+        acc / (len(scales) * 2), (h, w)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fuse_stride8_agreement_with_full():
+    """The two fusion points may differ only in label-boundary bands
+    (softmax/bilinear reorder) — on a structured input the argmax maps
+    must agree almost everywhere and the probabilities stay close."""
+    model = build_model("tiny", 7)
+    variables = _variables(model, (64, 96))
+    # structured frame: large constant-color regions -> large-region preds
+    rng = np.random.RandomState(4)
+    img = np.zeros((1, 64, 96, 3), np.uint8)
+    for i in range(4):
+        for j in range(6):
+            img[:, i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] = rng.randint(
+                0, 255, 3)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    kw = dict(scales=(0.5, 1.0), flip=True)
+
+    pf = np.asarray(jax.jit(engine.make_infer_fn(
+        model, mean, std, fuse="full", **kw))(variables, jnp.asarray(img)))
+    ps = np.asarray(jax.jit(engine.make_infer_fn(
+        model, mean, std, fuse="stride8", **kw))(variables,
+                                                 jnp.asarray(img)))
+    assert pf.shape == ps.shape
+    agree = float(np.mean(pf.argmax(-1) == ps.argmax(-1)))
+    assert agree > 0.9, agree
+    assert float(np.abs(pf - ps).mean()) < 0.02
+
+
+def test_run_inference_fuse_stride8_exports_and_raw(root, tmp_path):
+    """run_inference(fuse='stride8') exports the same artifact set; the
+    save_raw path (the only consumer of the full probability readback
+    after the device-side-argmax change) round-trips."""
+    model = build_model("tiny", 19)
+    variables = _variables(model, (40, 56))
+    ds = engine.InferDataset(root, "val_cityscapes")
+    out = str(tmp_path / "masks")
+    conf = engine.run_inference(
+        model, variables, ds, out, mean=(0.485, 0.456, 0.406),
+        std=(0.229, 0.224, 0.225), scales=(0.5, 1.0), flip=True,
+        fuse="stride8", save_raw=True, verbose=False)
+    assert conf is not None and conf.shape == (19, 19)
+    for i in range(len(ds)):
+        name = ds.name(i)
+        pred = np.asarray(Image.open(os.path.join(out, name + ".png")))
+        assert pred.shape == (40, 56) and pred.dtype == np.uint8
+        raw = np.load(os.path.join(out, "raw", name + ".npz"))["raw"]
+        assert raw.shape == (40, 56, 19) and raw.dtype == np.float16
+        # the exported mask IS the argmax of the exported probabilities
+        # (device argmax == host argmax; f16 rounding may flip near-ties)
+        agree = float(np.mean(raw.argmax(-1) == pred))
+        assert agree > 0.99, agree
