@@ -448,10 +448,18 @@ def main():
         out["end_to_end_images_per_sec"] = round(BATCH_SIZE / dt_e2e, 2)
         out["end_to_end_step_ms"] = round(dt_e2e * 1e3, 1)
         # host input pipeline alone (no device, no tunnel): PNG decode vs a
-        # memmap pack (tools/pack_dataset) — isolates what the host can feed
+        # memmap pack (tools/pack_dataset) — isolates what the host can feed.
+        # Record host-CPU contention around the measurement: on this 1-core
+        # host a concurrent compile/test run halves the decode rate (r04:
+        # 20.0 vs r03's 35.8 img/s), so a loadavg >> 1 marks the number as
+        # contended rather than a pipeline regression.
+        load_pre = os.getloadavg()[0]
         dec, pk = bench_input_pipeline(iters=max(4, args.iters))
         out["input_images_per_sec_decode"] = round(dec, 1)
         out["input_images_per_sec_packed"] = round(pk, 1)
+        out["host_cpus"] = os.cpu_count()
+        out["host_load1_pre_input"] = round(load_pre, 2)
+        out["host_load1_post_input"] = round(os.getloadavg()[0], 2)
         if args.mode == "e2e":
             out["value"] = out["end_to_end_images_per_sec"]
             out["vs_baseline"] = round(

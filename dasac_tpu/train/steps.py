@@ -350,6 +350,7 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
     dataset (datasets/__init__.py:51-53), so the target branch uses the
     source geometric pipeline with standard normalization.
     """
+    frames_step = make_abn_frames_step(model, tx, scfg, axis_name)
 
     def step(state, batch, rng):
         src_images, src_labels, tgt_images, tgt_labels = batch
@@ -367,6 +368,23 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             scale_range=scfg.src_scale, hflip=scfg.src_hflip,
             jitter=scfg.src_jitter, blur=scfg.src_blur,
             mean=scfg.mean, std=scfg.std)
+        return frames_step(state, src_frames, src_lbls,
+                           tgt_frames, tgt_lbls_o, rng)
+
+    return step
+
+
+def make_abn_frames_step(model, tx, scfg: StepConfig,
+                         axis_name: Optional[str] = None):
+    """The ABN iteration on PRE-AUGMENTED inputs — the exact body
+    ``make_abn_step`` runs after device-side augmentation, exposed so the
+    ABN trajectory parity test can feed this step and the reference's
+    baseline path (train.py:273-289: live-BN source backward + optim.step,
+    then a no-grad train-mode target forward) identical frames.
+    """
+
+    def frames_step(state, src_frames, src_lbls, tgt_frames, tgt_lbls, rng):
+        k_src, k_tgt = jax.random.split(rng)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -390,7 +408,7 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
             variables, tgt_frames, train=True, update_stats=True,
             mutable=["batch_stats"],
             rngs={"dropout": jax.random.fold_in(k_tgt, 1)})
-        ce_tgt = sac_core.cross_entropy_mean(tgt_up, tgt_lbls_o,
+        ce_tgt = sac_core.cross_entropy_mean(tgt_up, tgt_lbls,
                                              impl=scfg.ce_impl)
 
         new_state = state.replace(
@@ -403,7 +421,7 @@ def make_abn_step(model, tx, scfg: StepConfig, axis_name: Optional[str] = None):
                          axis_name)
         return new_state, metrics
 
-    return step
+    return frames_step
 
 
 # ---------------------------------------------------------------------------

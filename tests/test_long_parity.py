@@ -45,7 +45,8 @@ from dasac_tpu.train.metrics import confusion_matrix, mean_iou
 torch = pytest.importorskip("torch")
 
 from tests.test_sac_module_parity import (_build_ref_sac,  # noqa: E402
-                                          _lookup, _sample_keys, _to_t)
+                                          _build_ours, _lookup,
+                                          _sample_keys, _to_t)
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("DASAC_LONG_PARITY") != "1",
@@ -94,8 +95,7 @@ def _scene_pool(rng, colors, class_ids, n):
     return np.stack(imgs), np.stack(lbls)
 
 
-def test_long_horizon_trajectory_parity_resnet101():
-    arch = "deeplabv2_resnet101"
+def _run_long(arch, iters):
     rng = np.random.RandomState(0)
     class_ids = [0, 3, 5, 8, 11, 16]
     src_colors = np.array([[200, 50, 50], [50, 200, 50], [50, 50, 200],
@@ -108,7 +108,7 @@ def test_long_horizon_trajectory_parity_resnet101():
 
     # ---- both stacks from identical weights ------------------------------
     ref = _build_ref_sac(arch, overrides=HP)
-    model = build_model(arch, C)
+    model = _build_ours(arch)
     tx = optax.sgd(LR)
 
     variables = model.init({"params": jax.random.PRNGKey(0)},
@@ -167,7 +167,7 @@ def test_long_horizon_trajectory_parity_resnet101():
     draw = np.random.RandomState(123)
     rec = {"src_ce": [], "self_ce": [], "rc": [], "pl": [],
            "cover": [], "miou": []}
-    for it in range(ITERS):
+    for it in range(iters):
         si = draw.choice(len(src_i), B_SRC, replace=False)
         ti = draw.choice(len(tgt_i), G, replace=False)
         k_it = jax.random.PRNGKey(1000 + it)
@@ -218,7 +218,7 @@ def test_long_horizon_trajectory_parity_resnet101():
         rec["cover"].append((float(mets["pseudo_cover"]),
                              float(np.mean(pl_r != 255))))
 
-        if (it + 1) % EVAL_EVERY == 0 or it + 1 == ITERS:
+        if (it + 1) % EVAL_EVERY == 0 or it + 1 == iters:
             m_o = mean_iou(np.asarray(eval_ours(state.params,
                                                 state.batch_stats)))
             m_r = mean_iou(np.asarray(eval_ref()))
@@ -230,7 +230,7 @@ def test_long_horizon_trajectory_parity_resnet101():
     live = np.asarray([r for r, (o, rr) in zip(
         np.abs(sce[:, 0] - sce[:, 1]), rec["cover"]) if rr > 0.01])
     summary = {
-        "iters": ITERS, "ema_updates": ITERS // NMI,
+        "arch": arch, "iters": iters, "ema_updates": iters // NMI,
         "max_abs_d_src_ce": float(np.max(np.abs(src[:, 0] - src[:, 1]))),
         "max_abs_d_self_ce": float(live.max()) if live.size else 0.0,
         "max_abs_d_running_conf": float(np.max(rec["rc"])),
@@ -281,3 +281,19 @@ def test_long_horizon_trajectory_parity_resnet101():
                    / (np.linalg.norm(ref_p) + 1e-12))
             assert rel < 5e-2, ("%s trajectory %s rel %.4f"
                                 % (tag, tkey, rel), summary)
+
+
+def test_long_horizon_trajectory_parity_resnet101():
+    _run_long("deeplabv2_resnet101", ITERS)
+
+
+def test_long_horizon_trajectory_parity_vgg16():
+    """The VGG heads and freeze-BN wiring differ enough from r101 that the
+    r101 run does not exclude drift there (reference deeplabv2.py:229-312);
+    a shorter horizon suffices — 12 EMA cycles."""
+    _run_long("deeplabv2_vgg16_bn", min(60, ITERS))
+
+
+def test_long_horizon_trajectory_parity_fcn():
+    """FCN8s adds the skip-fusion path (reference models/fcn.py:10-149)."""
+    _run_long("fcn_vgg16_bn", min(60, ITERS))
