@@ -43,19 +43,37 @@ class Trainer:
         if self.gspmd:
             # GSPMD mode: one global-batch program partitioned by XLA over
             # a (data, sp) mesh — image height shards over 'sp' (conv halo
-            # exchanges), batch over 'data'.  Single-process only: pods use
-            # the shard_map mode.
-            assert self.n_proc == 1, (
-                "TPU.PARTITION=gspmd is single-process; use shard_map on "
-                "pods")
+            # exchanges), batch over 'data'.
             n_sp = max(1, int(cfg.TPU.MESH_SP))
-            if not n_dev:
-                n_dev = n_sp * _auto_mesh_size(len(jax.devices()) // n_sp,
-                                               cfg.TRAIN.BATCH_SIZE,
-                                               cfg.TRAIN.NUM_GROUPS)
-            assert n_dev % n_sp == 0, (
-                "TPU.MESH_DEVICES=%d must be divisible by TPU.MESH_SP=%d"
-                % (n_dev, n_sp))
+            if self.n_proc > 1:
+                # pod x gspmd: one global mesh over every process's devices.
+                # Each process feeds its batch-block slice; shard_batch
+                # assembles global (data, sp)-sharded arrays.  Keep each sp
+                # group within one host so the conv halo exchanges ride
+                # ICI, never DCN: make_mesh_2d lays 'sp' along adjacent
+                # devices, which stay intra-process iff the local device
+                # count divides into whole sp groups.
+                n_dev = len(jax.devices())
+                n_local = len(jax.local_devices())
+                assert n_local % n_sp == 0, (
+                    "TPU.MESH_SP=%d must divide the %d local devices per "
+                    "process (sp halo exchanges must not cross hosts)"
+                    % (n_sp, n_local))
+                n_data = n_dev // n_sp
+                for name, v in (("TRAIN.BATCH_SIZE", cfg.TRAIN.BATCH_SIZE),
+                                ("TRAIN.NUM_GROUPS", cfg.TRAIN.NUM_GROUPS)):
+                    assert v % n_data == 0, (
+                        "{}={} must be divisible by the {}-way data axis "
+                        "of the {}-device gspmd pod".format(name, v,
+                                                            n_data, n_dev))
+            else:
+                if not n_dev:
+                    n_dev = n_sp * _auto_mesh_size(
+                        len(jax.devices()) // n_sp,
+                        cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.NUM_GROUPS)
+                assert n_dev % n_sp == 0, (
+                    "TPU.MESH_DEVICES=%d must be divisible by TPU.MESH_SP=%d"
+                    % (n_dev, n_sp))
             self.mesh = make_mesh_2d(n_dev // n_sp, n_sp)
         else:
             if self.n_proc > 1:

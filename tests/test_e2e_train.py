@@ -292,3 +292,104 @@ def test_cli_pod_two_process_training(synth_root, tmp_path):
         assert m, out[-2000:]
         n_real.append(int(m.group(1)))
     assert sum(n_real) == 2, n_real
+
+
+def test_cli_pod_gspmd_trajectory_identity(tmp_path_factory):
+    """Pod x GSPMD compose: 2 jax.distributed processes x 4 local devices
+    form ONE global (4,2) (data, sp) mesh — batch over 'data', crop height
+    over 'sp' with XLA halo exchanges — vs the same (4,2) mesh in a single
+    8-device process.  Each process feeds its batch-block slice through
+    jax.make_array_from_process_local_data (core/mesh.shard_batch); the
+    global program and shardings are identical, so the per-epoch loss
+    trajectory and val mIoU must agree to collective float noise.  This is
+    the multi-host story for crops too large for one chip's HBM (the gspmd
+    mode's whole justification), previously asserted single-process-only."""
+    import re
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from dasac_tpu.utils.sys_tools import find_free_port
+
+    tmp_path = tmp_path_factory.mktemp("podgspmd")
+    root = make_synthetic_root(
+        str(tmp_path_factory.mktemp("podgspmddata")), hw=(48, 64),
+        n_train_src=8, n_train_tgt=8, n_val=4)
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+
+    def argv(run, snap_dir, log_dir, dist):
+        return [
+            sys.executable, "train.py",
+            "--cfg", os.path.join(cwd, "configs", "tiny_cpu.yaml"),
+            "--snapshot-dir", str(snap_dir), "--logdir", str(log_dir),
+            "--exp", "podg", "--run", run, "--workers", "2",
+        ] + (["--multiprocessing-distributed"] if dist else []) + [
+            "--set", "DATASET.ROOT", root,
+            "TRAIN.NUM_EPOCHS", "1",
+            "TPU.PARTITION", "gspmd", "TPU.MESH_SP", "2",
+            "TRAIN.BATCH_SIZE", "4", "TRAIN.NUM_GROUPS", "4",
+            "TRAIN.GROUP_SIZE", "2", "LOG.ITER_TARGET", "1",
+            "LOG.ITER_VAL", "1",
+        ]
+
+    env_common = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": cwd,
+    }
+
+    # ---- reference arm: one process, (4,2) mesh over 8 local devices ------
+    p = subprocess.run(
+        argv("solo", tmp_path / "snap1", tmp_path / "logs1", dist=False),
+        env={**env_common,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        cwd=cwd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=900)
+    assert p.returncode == 0, p.stdout[-3000:]
+    assert "(gspmd 4x2)" in p.stdout
+
+    # ---- pod arm: 2 processes x 4 devices, same global (4,2) mesh ---------
+    env_base = {
+        **env_common,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COORDINATOR_ADDRESS": "localhost:%d" % find_free_port(),
+        "JAX_NUM_PROCESSES": "2",
+    }
+    procs = [
+        subprocess.Popen(argv("pod", tmp_path / "snap2", tmp_path / "logs2",
+                              dist=True),
+                         env={**env_base, "JAX_PROCESS_ID": str(r)},
+                         cwd=cwd, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for r in range(2)
+    ]
+    outs = [pp.communicate(timeout=900)[0] for pp in procs]
+    for r, (pp, out) in enumerate(zip(procs, outs)):
+        assert pp.returncode == 0, "rank {} failed:\n{}".format(
+            r, out[-3000:])
+    assert "2 process(es) (gspmd 4x2)" in outs[0], outs[0][-2000:]
+    assert glob.glob(str(tmp_path / "snap2" / "**" / "*.ckpt"),
+                     recursive=True), outs[0][-2000:]
+
+    # pod validation decodes each val image exactly once across ranks
+    n_real = []
+    for r, out in enumerate(outs):
+        m = re.search(r"\[val:val_cityscapes\] rank %d decoded (\d+) real "
+                      r"images" % r, out)
+        assert m, out[-2000:]
+        n_real.append(int(m.group(1)))
+    assert sum(n_real) == 4, n_real
+
+    # ---- trajectory identity vs the single-process gspmd arm --------------
+    prefixes = ("train_epoch/", "logits_up_all/mIoU")
+    ev_solo = _read_events(str(tmp_path / "logs1" / "**" / "events.jsonl"),
+                           prefixes)
+    ev_pod = _read_events(str(tmp_path / "logs2" / "**" / "events.jsonl"),
+                          prefixes)
+    assert ev_solo and set(ev_solo) == set(ev_pod), (
+        set(ev_solo) ^ set(ev_pod))
+    for key in sorted(ev_solo):
+        np.testing.assert_allclose(
+            ev_pod[key], ev_solo[key], rtol=1e-3, atol=2e-4,
+            err_msg="gspmd pod-vs-solo trajectory diverged at %r" % (key,))

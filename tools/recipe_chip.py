@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""On-chip three-stage recipe: demonstrate the adaptation GAIN at flagship
+config (VERDICT r4 next-round #1; reference recipe README.md:145-166).
+
+Runs on the real TPU chip against a domain-gapped synthetic corpus at
+(near-)native GTA/Cityscapes sizes (dasac_tpu.data.synth.make_domain_gap_root):
+
+  stage 1   ABN baseline (``MODEL.BASELINE True``) to a converged source
+            model (reference train.py:281-289)
+  stage 2   ``infer_val.py`` mask export on the target train split
+  stage 3   ``tools/compute_is_weights.py`` -> importance-sampling weights
+  stage 4   SAC ``--resume <ABN last.ckpt>`` with DATASET.SAMPLE_WEIGHTS
+  control   ABN continued from the same snapshot for the same extra epochs
+            (same optimization budget, no self-supervision)
+
+After each stage the snapshot is evaluated with single-scale ``infer_val.py``
+on val_cityscapes (TARGET domain) and val_game_1K (SOURCE domain).  Appends
+one JSON line per measurement to ``results/recipe_r5.jsonl``.  Done =
+mIoU(SAC, target) > mIoU(control, target) by a clear margin.
+
+Stage trainings keep the flagship hyperparameters except:
+  * MODEL.LR for stages 1/control (``--lr-abn``): the flagship 2.5e-4
+    assumes an ImageNet-initialized backbone; no .pth exists in this
+    environment, so the ABN stage trains from scratch and needs a larger
+    source LR to converge within the step budget.  Stage 4 (SAC) runs at
+    the UNMODIFIED flagship LR/config — its compiled step is byte-identical
+    to the bench/driver program (compile-cache hit).
+  * LOG.ITER_VAL/ITER_TARGET pushed past the horizon: evaluation happens
+    once per stage through infer_val instead of inside the train loop.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+CFG = os.path.join(REPO, "configs", "deeplabv2_resnet101_train.yaml")
+MIOU_RE = re.compile(r"mIoU \(\d+ classes\): ([0-9.]+)")
+
+
+def _set_cfg(path):
+    global CFG
+    CFG = path
+
+
+def sh(args, log_path, timeout=7200):
+    print("[recipe] $ {} -> {}".format(" ".join(map(str, args)), log_path))
+    sys.stdout.flush()
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        p = subprocess.run([str(a) for a in args], cwd=REPO, stdout=log,
+                           stderr=subprocess.STDOUT, timeout=timeout)
+    dt = time.time() - t0
+    assert p.returncode == 0, "stage failed (rc=%d), see %s" % (
+        p.returncode, log_path)
+    return dt
+
+
+def corpus(work, args):
+    root = os.path.join(work, "data")
+    params = dict(n_train_src=args.n_src, n_train_tgt=args.n_tgt,
+                  n_val=args.n_val, seed=0,
+                  src_hw=tuple(args.src_hw), tgt_hw=tuple(args.tgt_hw))
+    marker = os.path.join(root, ".complete")
+    stamp = json.dumps(params, sort_keys=True)
+    if os.path.isfile(marker) and open(marker).read() == stamp:
+        return root
+    import shutil
+
+    from dasac_tpu.data.synth import make_domain_gap_root
+
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    make_domain_gap_root(root, **params)
+    with open(marker, "w") as f:
+        f.write(stamp)
+    print("[recipe] corpus generated in %.0fs" % (time.time() - t0))
+    return root
+
+
+def train_stage(work, root, run, epochs, extra, log):
+    snap = os.path.join(work, "snap_" + run)
+    dt = sh([sys.executable, "train.py", "--cfg", CFG,
+        "--snapshot-dir", snap, "--logdir", os.path.join(work, "logs"),
+        "--exp", "recipe", "--run", run, "--workers", "2",
+        "--set", "DATASET.ROOT", root,
+        "TRAIN.NUM_EPOCHS", str(epochs),
+        "LOG.ITER_VAL", "100000", "LOG.ITER_TARGET", "100000",
+        ] + extra, log)
+    ckpt = os.path.join(snap, "default", "recipe", run, "last.ckpt")
+    assert os.path.isfile(ckpt), "no snapshot at " + ckpt
+    return ckpt, dt
+
+
+def evaluate(work, root, ckpt, split, tag, teacher=False):
+    log = os.path.join(work, "eval_%s_%s.log" % (tag, split))
+    open(log, "w").close()
+    sh([sys.executable, "infer_val.py", "--cfg", CFG,
+        "--resume", ckpt, "--infer-list", split,
+        "--mask-output-dir", os.path.join(work, "masks_eval", tag, split),
+        "--workers", "2"] + (["--teacher"] if teacher else []) +
+       ["--set", "DATASET.ROOT", root], log)
+    text = open(log).read()
+    m = MIOU_RE.findall(text)
+    assert m, "no mIoU in " + log
+    return float(m[-1])
+
+
+def record(out_path, **kv):
+    kv["ts"] = time.time()
+    with open(out_path, "a") as f:
+        f.write(json.dumps(kv) + "\n")
+    print("[recipe] " + json.dumps(kv))
+    sys.stdout.flush()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/dasac_recipe_r5")
+    ap.add_argument("--out", default=os.path.join(REPO, "results",
+                                                  "recipe_r5.jsonl"))
+    ap.add_argument("--cfg", default=CFG,
+                    help="training config (tiny_cpu.yaml for a CPU smoke)")
+    ap.add_argument("--n-src", type=int, default=48)
+    ap.add_argument("--n-tgt", type=int, default=24)
+    ap.add_argument("--n-val", type=int, default=6)
+    ap.add_argument("--src-hw", type=int, nargs=2, default=[1052, 1914])
+    ap.add_argument("--tgt-hw", type=int, nargs=2, default=[1024, 2048])
+    ap.add_argument("--epochs1", type=int, default=24,
+                    help="ABN baseline epochs (6 steps/epoch at 48/8)")
+    ap.add_argument("--epochs2", type=int, default=24,
+                    help="additional SAC / control epochs")
+    ap.add_argument("--lr-abn", type=float, default=1e-3,
+                    help="source LR for the from-scratch ABN/control stages")
+    ap.add_argument("--stages", default="1,2,3,4,c,eval",
+                    help="comma list of stages to run (resume-friendly)")
+    args = ap.parse_args(argv)
+    _set_cfg(args.cfg)
+
+    os.makedirs(args.work, exist_ok=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    stages = set(args.stages.split(","))
+    root = corpus(args.work, args)
+    log1 = os.path.join(args.work, "stage1_abn.log")
+    log4 = os.path.join(args.work, "stage4_sac.log")
+    logc = os.path.join(args.work, "control_abn.log")
+    abn_ckpt = os.path.join(args.work, "snap_abn", "default", "recipe",
+                            "abn", "last.ckpt")
+    weights = os.path.join(args.work, "cs_weights.data")
+    masks = os.path.join(args.work, "masks_tgt")
+
+    if "1" in stages:
+        _, dt = train_stage(args.work, root, "abn", args.epochs1,
+                         ["MODEL.BASELINE", "True",
+                          "MODEL.LR", str(args.lr_abn)], log1)
+        record(args.out, stage="abn", epochs=args.epochs1, wall_s=round(dt))
+
+    if "2" in stages:
+        log2 = os.path.join(args.work, "stage2_export.log")
+        sh([sys.executable, "infer_val.py", "--cfg", CFG,
+            "--resume", abn_ckpt, "--infer-list", "train_cityscapes",
+            "--mask-output-dir", masks, "--workers", "2",
+            "--set", "DATASET.ROOT", root], log2)
+
+    if "3" in stages:
+        log3 = os.path.join(args.work, "stage3_weights.log")
+        sh([sys.executable, "-m", "dasac_tpu.tools.compute_is_weights",
+            "--labels", masks, "--out", weights], log3)
+
+    if "4" in stages:
+        _, dt = train_stage(args.work, root, "sac",
+                         args.epochs1 + args.epochs2,
+                         ["DATASET.SAMPLE_WEIGHTS", weights,
+                          "--resume", abn_ckpt], log4)
+        record(args.out, stage="sac", epochs=args.epochs2, wall_s=round(dt))
+
+    if "c" in stages:
+        _, dt = train_stage(args.work, root, "ctrl",
+                         args.epochs1 + args.epochs2,
+                         ["MODEL.BASELINE", "True",
+                          "MODEL.LR", str(args.lr_abn),
+                          "--resume", abn_ckpt], logc)
+        record(args.out, stage="control", epochs=args.epochs2,
+               wall_s=round(dt))
+
+    if "eval" in stages:
+        sac_ckpt = os.path.join(args.work, "snap_sac", "default", "recipe",
+                                "sac", "last.ckpt")
+        ctrl_ckpt = os.path.join(args.work, "snap_ctrl", "default", "recipe",
+                                 "ctrl", "last.ckpt")
+        res = {}
+        for tag, ckpt in (("abn", abn_ckpt), ("control", ctrl_ckpt),
+                          ("sac", sac_ckpt)):
+            if not os.path.isfile(ckpt):
+                continue
+            for split, dom in (("val_cityscapes", "target"),
+                               ("val_game_1K", "source")):
+                miou = evaluate(args.work, root, ckpt, split, tag)
+                res["%s_%s" % (tag, dom)] = miou
+                record(args.out, stage="eval", model=tag, domain=dom,
+                       split=split, miou=miou)
+        if os.path.isfile(sac_ckpt):
+            res["sac_teacher_target"] = evaluate(
+                args.work, root, sac_ckpt, "val_cityscapes", "sac_teacher",
+                teacher=True)
+            record(args.out, stage="eval", model="sac_teacher",
+                   domain="target", miou=res["sac_teacher_target"])
+        if "sac_target" in res and "control_target" in res:
+            gain = res["sac_target"] - res["control_target"]
+            record(args.out, stage="summary",
+                   gain_vs_control=round(gain, 4),
+                   gain_vs_abn=round(res["sac_target"]
+                                     - res.get("abn_target", 0.0), 4),
+                   **{k: round(v, 4) for k, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()
