@@ -45,6 +45,9 @@ def main(argv=None):
                     default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--num-classes", type=int, default=19)
+    ap.add_argument("--dump-hlo", default=None,
+                    help="save the optimized HLO text of the compiled "
+                         "program (input for tools/hlo_traffic --hlo-file)")
     args = ap.parse_args(argv if argv is not None else sys.argv[1:])
 
     import jax
@@ -108,6 +111,9 @@ def main(argv=None):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
         hbm_bytes = float(cost.get("bytes accessed", 0.0)) or None
+        if args.dump_hlo:
+            with open(args.dump_hlo, "w") as f:
+                f.write(compiled.as_text())
         infer_fn = compiled  # reuse the AOT executable
     except Exception:
         pass
