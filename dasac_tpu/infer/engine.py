@@ -68,7 +68,8 @@ class InferDataset:
         return self._ds.load_batch(idxs, pool=pool, threads=threads)
 
 
-def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
+def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full",
+                  output="probs"):
     """Jittable (variables, uint8 [1,H,W,3]) -> averaged softmax [1,H,W,C].
 
     Scale factors resize the input (bilinear); each scale's logits are
@@ -97,8 +98,31 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
         effect.  It deletes ``2 x len(scales) - 1`` full-resolution
         upsample+softmax chains per step; stability + measured numbers in
         PARITY.md.  Default stays the reference-exact ``"full"``.
+
+    ``output`` picks the program's result:
+      * ``"probs"``  — the averaged probability volume (default; needed
+        for ``save_raw`` and for any downstream fusion).
+      * ``"argmax"`` — the uint8 trainId mask [B,H,W]: the final argmax
+        fuses INTO the program, so the full-resolution f32 [B,H,W,C]
+        volume (1.28 GB at batch 8, Cityscapes val — the top two writes
+        in the single-scale HLO traffic ranking) is never materialised
+        in HBM and the program's output shrinks ~80x.  In the
+        single-scale unflipped ``fuse="full"`` case the softmax is also
+        skipped (argmax-invariant, bit-exact); everywhere else the
+        probability averaging is unchanged and only the final argmax
+        moves on-device-into-program.
     """
     assert fuse in ("full", "stride8"), fuse
+    assert output in ("probs", "argmax"), output
+    # argmax(softmax(up)/denom) == argmax(up): skip the softmax entirely
+    # when nothing is averaged and the caller only wants labels
+    skip_softmax = (output == "argmax" and fuse == "full"
+                    and len(scales) == 1 and not flip)
+
+    def _finish(p):
+        if output == "argmax":
+            return jnp.argmax(p, axis=-1).astype(jnp.uint8)
+        return p
 
     def fn(variables, image_u8):
         x = P.normalize(image_u8.astype(jnp.float32) / 255.0, mean, std)
@@ -116,6 +140,8 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
             if want_raw:
                 return raw  # stride-8 logits; XLA dead-code-eliminates `up`
             up = resize_bilinear_align_corners(up, (h, w))
+            if skip_softmax:
+                return up
             return jax.nn.softmax(up, axis=-1)
 
         if fuse == "stride8":
@@ -133,7 +159,8 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
                     p = p[:b] + p[b:][:, :, ::-1, :]
                 acc = p if acc is None else acc + p
             denom = len(scales) * (2 if flip else 1)
-            return resize_bilinear_align_corners(acc / denom, (h, w))
+            return _finish(resize_bilinear_align_corners(acc / denom,
+                                                         (h, w)))
 
         acc = None
         for xs in map(scaled, scales):
@@ -145,7 +172,7 @@ def make_infer_fn(model, mean, std, scales=(1.0,), flip=False, fuse="full"):
                 p = forward(xs, False)
             acc = p if acc is None else acc + p
         denom = len(scales) * (2 if flip else 1)
-        return acc / denom
+        return _finish(acc / denom)
 
     return fn
 
@@ -277,6 +304,12 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     ``fuse="stride8"`` fuses the multi-scale averaging on the stride-8
     grid (see :func:`make_infer_fn`); the default ``"full"`` is the
     reference-exact protocol.
+
+    Unless ``save_raw`` asks for the probability volumes, the program
+    returns the fused on-device argmax directly (``make_infer_fn``
+    ``output="argmax"``, label-exact): the full-resolution f32 [B,H,W,C]
+    volume never materialises between programs, and only uint8 masks
+    cross D2H.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -286,7 +319,9 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
     repl = NamedSharding(mesh, P())
     variables = jax.device_put(variables, repl)
 
-    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip, fuse),
+    output = "probs" if save_raw else "argmax"
+    infer_fn = jax.jit(make_infer_fn(model, mean, std, scales, flip, fuse,
+                                     output=output),
                        in_shardings=(repl, shard), out_shardings=shard)
     # argmax ON DEVICE: the writer needs the uint8 trainId mask, so read
     # back 2 MB of preds per frame instead of the f32 [H,W,C] probability
@@ -313,8 +348,12 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
         if h_pad:
             imgs = np.pad(imgs, ((0, 0), (0, h_pad), (0, 0), (0, 0)),
                           mode="edge")
-        probs = infer_fn(variables, jax.device_put(imgs, shard))
-        preds = argmax_fn(probs)
+        if save_raw:
+            probs = infer_fn(variables, jax.device_put(imgs, shard))
+            preds = argmax_fn(probs)
+        else:
+            probs = None
+            preds = infer_fn(variables, jax.device_put(imgs, shard))
         if h_pad:
             preds = preds[:, :h_img]
             imgs = imgs[:, :h_img]
@@ -324,7 +363,7 @@ def run_inference(model, variables, dataset, out_dir, *, mean, std,
             conf = c if conf is None else conf + c
         preds_np = np.asarray(preds)  # ONE batched uint8 D2H readback
         probs_np = (np.asarray(probs[:, :h_img] if h_pad else probs)
-                    if save_raw else None)
+                    if probs is not None else None)
         for k in range(b):
             i = bi * b + k
             if i >= n:

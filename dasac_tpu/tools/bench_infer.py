@@ -43,11 +43,20 @@ def main(argv=None):
                     help="scale-fusion point (engine.make_infer_fn)")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
+    ap.add_argument("--output", choices=["probs", "argmax"],
+                    default="probs",
+                    help="program result: probability volume or fused "
+                         "on-device uint8 argmax (engine.make_infer_fn)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--num-classes", type=int, default=19)
     ap.add_argument("--dump-hlo", default=None,
                     help="save the optimized HLO text of the compiled "
                          "program (input for tools/hlo_traffic --hlo-file)")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="lower + compile from abstract avals (no device "
+                         "transfers, no execution) and exit after the "
+                         "cost/HLO dump — safe while the chip is busy "
+                         "training")
     args = ap.parse_args(argv if argv is not None else sys.argv[1:])
 
     import jax
@@ -80,15 +89,22 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_model(args.arch, args.num_classes, dtype=dtype)
-    variables = jax.jit(
-        lambda r: model.init({"params": r}, jnp.zeros((1, 64, 64, 3)),
-                             train=False, update_stats=False)
-    )(jax.random.PRNGKey(0))
-    variables = jax.device_put(variables, repl)
+    _init = lambda r: model.init({"params": r}, jnp.zeros((1, 64, 64, 3)),
+                                 train=False, update_stats=False)  # noqa: E731
+    if args.compile_only:
+        # abstract avals all the way down: nothing is initialized,
+        # transferred, or executed — only the compile service is used
+        variables = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=repl),
+            jax.eval_shape(_init, jax.random.PRNGKey(0)))
+    else:
+        variables = jax.device_put(jax.jit(_init)(jax.random.PRNGKey(0)),
+                                   repl)
 
     mean, std = tuple(cfg.DATASET.MEAN), tuple(cfg.DATASET.STD)
     infer_fn = jax.jit(make_infer_fn(model, mean, std, tuple(args.scales),
-                                     args.flip, args.fuse),
+                                     args.flip, args.fuse,
+                                     output=args.output),
                        in_shardings=(repl, shard), out_shardings=shard)
 
     # falsifiable utilization numbers, same method as bench.py: XLA
@@ -101,8 +117,12 @@ def main(argv=None):
             "spatial mode: height %d must tile the %d-chip sp axis"
             % (h, n_sp))
     rng = np.random.RandomState(0)
-    frames = jax.device_put(
-        (rng.rand(b, h, w, 3) * 255).astype(np.uint8), shard)
+    if args.compile_only:
+        frames = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8,
+                                      sharding=shard)
+    else:
+        frames = jax.device_put(
+            (rng.rand(b, h, w, 3) * 255).astype(np.uint8), shard)
 
     try:
         compiled = infer_fn.lower(variables, frames).compile()
@@ -116,7 +136,22 @@ def main(argv=None):
                 f.write(compiled.as_text())
         infer_fn = compiled  # reuse the AOT executable
     except Exception:
+        if args.compile_only:
+            raise
         pass
+
+    if args.compile_only:
+        out = {"metric": "infer_compile_only", "mode": args.mode,
+               "batch": b, "hw": [h, w], "scales": args.scales,
+               "flip": bool(args.flip), "fuse": args.fuse,
+               "arch": args.arch, "dtype": args.dtype,
+               "output": args.output}
+        if flops:
+            out["step_flops_tf"] = round(flops / 1e12, 2)
+        if hbm_bytes:
+            out["hbm_gb_per_step"] = round(hbm_bytes / 1e9, 1)
+        print(json.dumps(out))
+        return 0
 
     probs = infer_fn(variables, frames)          # compile + warm
     _ = float(jnp.sum(probs[0, 0, 0]))           # readback = real fence
@@ -153,6 +188,7 @@ def main(argv=None):
         "fuse": args.fuse,
         "arch": args.arch,
         "dtype": args.dtype,
+        "output": args.output,
     }
     if flops:
         out["step_flops_tf"] = round(flops / 1e12, 2)

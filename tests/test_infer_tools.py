@@ -84,6 +84,28 @@ def test_multiscale_flip_consistency():
     np.testing.assert_allclose(pf, manual, atol=1e-5)
 
 
+def test_argmax_output_matches_probs_argmax():
+    """``output="argmax"`` fuses the final argmax into the program (the
+    full-res f32 volume never hits HBM); it must reproduce
+    argmax(probs-program) exactly — in the single-scale unflipped case the
+    softmax is additionally skipped (argmax-invariant), checked too."""
+    model = build_model("tiny", 7)
+    variables = _variables(model, (32, 48))
+    img = (np.random.RandomState(2).rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    for kw in (dict(scales=(1.0,)),                       # softmax-skip path
+               dict(scales=(0.75, 1.0), flip=True),       # averaged, full
+               dict(scales=(0.75, 1.0), flip=True, fuse="stride8")):
+        fp = engine.make_infer_fn(model, mean, std, **kw)
+        fa = engine.make_infer_fn(model, mean, std, output="argmax", **kw)
+        probs = np.asarray(fp(variables, jnp.asarray(img)))
+        labels = np.asarray(fa(variables, jnp.asarray(img)))
+        assert labels.dtype == np.uint8 and labels.shape == (2, 32, 48), kw
+        np.testing.assert_array_equal(labels, probs.argmax(-1).astype(
+            np.uint8), err_msg=str(kw))
+
+
 def test_flip_batching_bit_identical():
     """The flip forward is batched WITH the unflipped one (one 2B forward
     per scale instead of two sequential B forwards).  Samples are
