@@ -21,12 +21,26 @@ mIoU(SAC, target) > mIoU(control, target) by a clear margin.
 Stage trainings keep the flagship hyperparameters except:
   * MODEL.LR for stages 1/control (``--lr-abn``): the flagship 2.5e-4
     assumes an ImageNet-initialized backbone; no .pth exists in this
-    environment, so the ABN stage trains from scratch and needs a larger
-    source LR to converge within the step budget.  Stage 4 (SAC) runs at
-    the UNMODIFIED flagship LR/config — its compiled step is byte-identical
-    to the bench/driver program (compile-cache hit).
+    environment, so the ABN stage trains from scratch.  (A first attempt
+    at 1e-3 never converged — source CE oscillated 3..100 over 144 steps —
+    and the SAC stage NaN'd in one step when resumed from that snapshot:
+    SAC's student runs with FROZEN BN running stats, reference
+    basenet.py:86-100, and an unconverged live-BN checkpoint's running
+    stats are wildly inconsistent with its params.  Hence the gate below.)
   * LOG.ITER_VAL/ITER_TARGET pushed past the horizon: evaluation happens
     once per stage through infer_val instead of inside the train loop.
+
+Throughput notes (ONE host CPU core + a ~10-18 MB/s H2D tunnel in this
+environment): the train splits are packed to memmaps once
+(tools/pack_dataset.py, TPU.PACKED_DIR auto) so per-step host PNG decode
+(~6 s/step at native sizes) disappears; steps are then H2D-bound.
+
+Safety rails learned from the failed first run:
+  * stage 1 is GATED: its snapshot is evaluated on the SOURCE val split
+    and must clear ``--gate-miou`` before the SAC/control stages spend
+    chip time on it;
+  * every training log is scanned for non-finite losses — a NaN anywhere
+    aborts the recipe instead of silently training garbage for hours.
 """
 
 import argparse
@@ -84,15 +98,56 @@ def corpus(work, args):
     return root
 
 
+def _assert_finite_losses(log_path):
+    bad = [ln for ln in open(log_path)
+           if ln.startswith("Loss") and ("nan" in ln or "inf" in ln)]
+    assert not bad, "non-finite training loss in %s:\n%s" % (
+        log_path, "".join(bad[:5]))
+
+
+def pack_corpus(root, cfg_path):
+    """Pack the train splits to memmaps (decode-free loading): the source
+    split at its canonical size, the target split at BOTH the native size
+    (ABN-mode plain loader) and CROP_SIZE (SAC group loader decodes straight
+    at crop, factory.py).  Skips sizes whose pack header already exists."""
+    from dasac_tpu.core import config
+    from dasac_tpu.data import lists, packed
+
+    config.reset_cfg()
+    config.merge_cfg_from_file(cfg_path)
+    c = config.cfg
+    task, tgt = c.TRAIN.TASK, c.TRAIN.TARGET
+    pdir = packed.default_dir(root)
+
+    def probe(split):
+        imgs, _ = lists.read_split(root, split)
+        from PIL import Image
+        with Image.open(imgs[0]) as im:
+            return (im.size[1], im.size[0])
+
+    src_hw = lists.canonical_size(task)
+    if probe(task)[0] < src_hw[0] // 2:
+        src_hw = probe(task)
+    jobs = [(task, src_hw), (tgt, probe(tgt)), (tgt, tuple(c.DATASET.CROP_SIZE))]
+    for split, hw in jobs:
+        if packed.find_pack(pdir, split, hw, "resize"):
+            continue
+        sh([sys.executable, "-m", "dasac_tpu.tools.pack_dataset",
+            "--root", root, "--split", split, "--size", hw[0], hw[1]],
+           os.path.join(root, "pack.log"))
+    config.reset_cfg()
+
+
 def train_stage(work, root, run, epochs, extra, log):
     snap = os.path.join(work, "snap_" + run)
     dt = sh([sys.executable, "train.py", "--cfg", CFG,
         "--snapshot-dir", snap, "--logdir", os.path.join(work, "logs"),
         "--exp", "recipe", "--run", run, "--workers", "2",
-        "--set", "DATASET.ROOT", root,
+        "--set", "DATASET.ROOT", root, "TPU.PACKED_DIR", "auto",
         "TRAIN.NUM_EPOCHS", str(epochs),
         "LOG.ITER_VAL", "100000", "LOG.ITER_TARGET", "100000",
         ] + extra, log)
+    _assert_finite_losses(log)
     ckpt = os.path.join(snap, "default", "recipe", run, "last.ckpt")
     assert os.path.isfile(ckpt), "no snapshot at " + ckpt
     return ckpt, dt
@@ -132,12 +187,18 @@ def main(argv=None):
     ap.add_argument("--n-val", type=int, default=6)
     ap.add_argument("--src-hw", type=int, nargs=2, default=[1052, 1914])
     ap.add_argument("--tgt-hw", type=int, nargs=2, default=[1024, 2048])
-    ap.add_argument("--epochs1", type=int, default=24,
-                    help="ABN baseline epochs (6 steps/epoch at 48/8)")
-    ap.add_argument("--epochs2", type=int, default=24,
+    ap.add_argument("--epochs1", type=int, default=144,
+                    help="ABN baseline epochs (6 steps/epoch at 48/8; "
+                         "from-scratch needs ~900 steps to converge)")
+    ap.add_argument("--epochs2", type=int, default=72,
                     help="additional SAC / control epochs")
-    ap.add_argument("--lr-abn", type=float, default=1e-3,
-                    help="source LR for the from-scratch ABN/control stages")
+    ap.add_argument("--lr-abn", type=float, default=5e-4,
+                    help="source LR for the from-scratch ABN/control stages "
+                         "(1e-3 oscillated without converging — see module "
+                         "docstring)")
+    ap.add_argument("--gate-miou", type=float, default=0.5,
+                    help="minimum stage-1 SOURCE-val mIoU before the "
+                         "SAC/control stages are allowed to run")
     ap.add_argument("--stages", default="1,2,3,4,c,eval",
                     help="comma list of stages to run (resume-friendly)")
     args = ap.parse_args(argv)
@@ -155,11 +216,25 @@ def main(argv=None):
     weights = os.path.join(args.work, "cs_weights.data")
     masks = os.path.join(args.work, "masks_tgt")
 
+    pack_corpus(root, CFG)
+
     if "1" in stages:
         _, dt = train_stage(args.work, root, "abn", args.epochs1,
                          ["MODEL.BASELINE", "True",
                           "MODEL.LR", str(args.lr_abn)], log1)
-        record(args.out, stage="abn", epochs=args.epochs1, wall_s=round(dt))
+        record(args.out, stage="abn", epochs=args.epochs1, wall_s=round(dt),
+               lr=args.lr_abn)
+        # convergence gate: SAC resumes with FROZEN BN running stats, so an
+        # unconverged live-BN snapshot poisons every downstream stage (the
+        # first attempt NaN'd in one step) — require the source task learned
+        miou_src = evaluate(args.work, root, abn_ckpt, "val_game_1K",
+                            "abn_gate")
+        record(args.out, stage="gate", model="abn", domain="source",
+               miou=miou_src)
+        assert miou_src >= args.gate_miou, (
+            "stage-1 ABN snapshot failed the source-val gate: mIoU %.4f < "
+            "%.2f — raise --epochs1 or tune --lr-abn before spending chip "
+            "time on SAC/control" % (miou_src, args.gate_miou))
 
     if "2" in stages:
         log2 = os.path.join(args.work, "stage2_export.log")
