@@ -199,6 +199,12 @@ def main(argv=None):
     ap.add_argument("--gate-miou", type=float, default=0.5,
                     help="minimum stage-1 SOURCE-val mIoU before the "
                          "SAC/control stages are allowed to run")
+    ap.add_argument("--ema-iter", type=int, default=100,
+                    help="MODEL.NET_MOMENTUM_ITER for the SAC stage.  The "
+                         "flagship 100-iteration teacher cadence assumes the "
+                         "reference's ~90k-step budget; at a few hundred "
+                         "steps the teacher never leaves the ABN init.  The "
+                         "round-4 burn-in precedent is 10 for short horizons")
     ap.add_argument("--stages", default="1,2,3,4,c,eval",
                     help="comma list of stages to run (resume-friendly)")
     args = ap.parse_args(argv)
@@ -252,8 +258,10 @@ def main(argv=None):
         _, dt = train_stage(args.work, root, "sac",
                          args.epochs1 + args.epochs2,
                          ["DATASET.SAMPLE_WEIGHTS", weights,
+                          "MODEL.NET_MOMENTUM_ITER", str(args.ema_iter),
                           "--resume", abn_ckpt], log4)
-        record(args.out, stage="sac", epochs=args.epochs2, wall_s=round(dt))
+        record(args.out, stage="sac", epochs=args.epochs2, wall_s=round(dt),
+               ema_iter=args.ema_iter)
 
     if "c" in stages:
         _, dt = train_stage(args.work, root, "ctrl",
