@@ -357,8 +357,12 @@ class Trainer:
             return self._validation_target(epoch, max_batches)
 
         bs = max(1, self.cfg.TRAIN.BATCH_SIZE // 2)
-        if self.sharded:  # sharded eval needs global batch % mesh == 0
-            bs = max(self.n_dev, (bs // self.n_dev) * self.n_dev)
+        # sharded eval needs global batch % data axis == 0 (gspmd shards
+        # batch over 'data' only; shard_map spreads it over every device)
+        round_to = (self.mesh.shape["data"] if self.gspmd
+                    else self.n_dev if self.sharded else 0)
+        if round_to:
+            bs = max(round_to, (bs // round_to) * round_to)
         # multi-host: each process decodes only its slice of every global
         # batch (the assembled batch covers each image once; confusions are
         # psum'd inside the sharded eval step)
